@@ -1,0 +1,145 @@
+"""Two-tower CLIP model (ref: src/open_clip/model.py:265-662 CLIP/CustomTextCLIP).
+
+The JAX model is a pure function of params; ``logit_scale`` is exposed
+un-exponentiated in params (like the reference) and returned exp'd from
+``__call__`` (ref: model.py:464-479). ``forward`` returns the same dict schema
+as the reference's ``output_dict=True`` path:
+``{image_features, text_features, logit_scale[, logit_bias]}``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spatial_clip_tpu.models.config import CLIPCfg
+from spatial_clip_tpu.models.transformer import (
+    GeneMLPTower,
+    TextTransformer,
+    VisionTransformer,
+    quick_gelu,
+)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    # normalize in fp32 for stable unit vectors under bf16 compute
+    x32 = x.astype(jnp.float32)
+    return x32 / jnp.maximum(jnp.linalg.norm(x32, axis=axis, keepdims=True), eps)
+
+
+class CLIP(nn.Module):
+    """Contrastive two-tower model.
+
+    ``text`` input is token ids (B, L) for the transformer tower, or a
+    rank-weighted gene-expression vector (B, num_genes) when the config sets
+    ``gene_cfg`` (GeneMLP tower).
+    """
+
+    cfg: CLIPCfg
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        v = self.cfg.vision_cfg
+        act = quick_gelu if self.cfg.quick_gelu else nn.gelu
+        image_size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
+        self.visual = VisionTransformer(
+            image_size=image_size,
+            patch_size=v.patch_size,
+            width=v.width,
+            layers=v.layers,
+            heads=v.heads,
+            mlp_ratio=v.mlp_ratio,
+            output_dim=self.cfg.embed_dim,
+            ls_init_value=v.ls_init_value,
+            patch_dropout=v.patch_dropout,
+            attentional_pool=v.attentional_pool,
+            attn_pooler_queries=v.attn_pooler_queries,
+            attn_pooler_heads=v.attn_pooler_heads,
+            no_ln_pre=v.no_ln_pre,
+            pos_embed_type=v.pos_embed_type,
+            final_ln_after_pool=v.final_ln_after_pool,
+            pool_type=v.pool_type,
+            norm_eps=v.norm_eps,
+            dtype=self.dtype,
+            act=act,
+            remat=self.remat,
+        )
+        if self.cfg.gene_cfg is not None:
+            g = self.cfg.gene_cfg
+            self.text = GeneMLPTower(
+                num_genes=g.num_genes,
+                width=g.width,
+                layers=g.layers,
+                output_dim=self.cfg.embed_dim,
+                norm_eps=g.norm_eps,
+                dtype=self.dtype,
+            )
+        else:
+            t = self.cfg.text_cfg
+            self.text = TextTransformer(
+                context_length=t.context_length,
+                vocab_size=t.vocab_size,
+                width=t.width,
+                heads=t.heads,
+                layers=t.layers,
+                mlp_ratio=t.mlp_ratio,
+                output_dim=self.cfg.embed_dim,
+                ls_init_value=t.ls_init_value,
+                embed_cls=t.embed_cls,
+                no_causal_mask=t.no_causal_mask,
+                pad_id=t.pad_id,
+                pool_type=t.pool_type,
+                final_ln_after_pool=t.final_ln_after_pool,
+                proj_bias=t.proj_bias,
+                norm_eps=t.norm_eps,
+                dtype=self.dtype,
+                act=act,
+                remat=self.remat,
+            )
+        self.logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(self.cfg.init_logit_scale),
+            (),
+            jnp.float32,
+        )
+        if self.cfg.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.cfg.init_logit_bias),
+                (),
+                jnp.float32,
+            )
+        else:
+            self.logit_bias = None
+
+    def encode_image(
+        self, images: jnp.ndarray, normalize: bool = True, deterministic: bool = True
+    ) -> jnp.ndarray:
+        feats = self.visual(images, deterministic=deterministic)
+        return l2_normalize(feats) if normalize else feats
+
+    def encode_text(
+        self, text: jnp.ndarray, normalize: bool = True, deterministic: bool = True
+    ) -> jnp.ndarray:
+        feats = self.text(text, deterministic=deterministic)
+        return l2_normalize(feats) if normalize else feats
+
+    def __call__(
+        self,
+        images: Optional[jnp.ndarray] = None,
+        text: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {}
+        if images is not None:
+            out["image_features"] = self.encode_image(
+                images, deterministic=deterministic
+            )
+        if text is not None:
+            out["text_features"] = self.encode_text(text, deterministic=deterministic)
+        out["logit_scale"] = jnp.exp(self.logit_scale)
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
+        return out

@@ -1,0 +1,154 @@
+"""Model architecture configuration.
+
+JSON-config compatible with the reference's ``src/open_clip/model_configs/*.json``
+schema (ref: src/open_clip/model.py:34-112 ``CLIPVisionCfg``/``CLIPTextCfg``),
+so that existing architecture spec files can drive the JAX towers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+_CONFIG_DIR = Path(__file__).parent / "model_configs"
+
+
+def _filter_kwargs(cls, cfg: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in cfg.items() if k in names}
+    return known
+
+
+@dataclass
+class VisionCfg:
+    """Vision tower spec (ViT). Ref: src/open_clip/model.py:34-71."""
+
+    image_size: Union[int, Tuple[int, int]] = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: Optional[int] = None  # default width // 64
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None  # layer-scale
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"  # learnable | sin_cos_2d
+    final_ln_after_pool: bool = False
+    pool_type: str = "tok"  # tok | avg | none
+    output_tokens: bool = False
+    norm_eps: float = 1e-5
+    act_kwargs: Optional[Dict[str, Any]] = None
+
+    def __post_init__(self):
+        if self.heads is None:
+            self.heads = max(1, self.width // 64)
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        im = self.image_size
+        if isinstance(im, (tuple, list)):
+            return (im[0] // self.patch_size, im[1] // self.patch_size)
+        return (im // self.patch_size, im // self.patch_size)
+
+
+@dataclass
+class TextCfg:
+    """Text tower spec. Ref: src/open_clip/model.py:74-112."""
+
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    embed_cls: bool = False
+    pad_id: int = 0
+    no_causal_mask: bool = False
+    final_ln_after_pool: bool = False
+    pool_type: str = "argmax"  # argmax (EOT) | last | first | avg | none
+    proj_bias: bool = False
+    norm_eps: float = 1e-5
+    hf_tokenizer_name: Optional[str] = None
+
+
+@dataclass
+class GeneCfg:
+    """Gene-expression MLP tower spec (TPU-native extension).
+
+    Encodes rank-weighted gene-expression vectors directly with an MLP —
+    a faster alternative to running the 77-token text transformer over
+    gene sentences (north-star config 1: "gene-MLP tower").
+    """
+
+    num_genes: int = 5000
+    width: int = 1024
+    layers: int = 3
+    norm_eps: float = 1e-5
+
+
+@dataclass
+class CLIPCfg:
+    """Top-level two-tower spec."""
+
+    embed_dim: int = 512
+    vision_cfg: VisionCfg = field(default_factory=VisionCfg)
+    text_cfg: TextCfg = field(default_factory=TextCfg)
+    gene_cfg: Optional[GeneCfg] = None  # if set, replaces the text tower
+    init_logit_scale: float = 2.6592  # ln(1/0.07)
+    init_logit_bias: Optional[float] = None  # SigLIP-style bias
+    quick_gelu: bool = False
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "CLIPCfg":
+        cfg = dict(cfg)
+        vision = cfg.pop("vision_cfg", {}) or {}
+        text = cfg.pop("text_cfg", {}) or {}
+        gene = cfg.pop("gene_cfg", None)
+        known = _filter_kwargs(cls, cfg)
+        return cls(
+            vision_cfg=VisionCfg(**_filter_kwargs(VisionCfg, vision)),
+            text_cfg=TextCfg(**_filter_kwargs(TextCfg, text)),
+            gene_cfg=GeneCfg(**_filter_kwargs(GeneCfg, gene)) if gene else None,
+            **known,
+        )
+
+
+def list_model_configs() -> list:
+    """All built-in architecture names (ref: factory.py:56 list_models)."""
+    return sorted(p.stem for p in _CONFIG_DIR.glob("*.json"))
+
+
+def load_model_config(model_name: str) -> Dict[str, Any]:
+    """Resolve a model name to its raw JSON config dict.
+
+    Accepts a built-in name (``ViT-B-32``), a path to a ``.json`` file, or a
+    ``local-dir:`` prefix pointing at a directory containing
+    ``open_clip_config.json`` (ref: src/open_clip/factory.py:251-320).
+    """
+    name = model_name.replace("/", "-")
+    builtin = _CONFIG_DIR / f"{name}.json"
+    if builtin.exists():
+        return json.loads(builtin.read_text())
+    p = Path(model_name)
+    if p.suffix == ".json" and p.exists():
+        return json.loads(p.read_text())
+    if model_name.startswith("local-dir:"):
+        d = Path(model_name[len("local-dir:"):])
+        cfg_file = d / "open_clip_config.json"
+        cfg = json.loads(cfg_file.read_text())
+        return cfg.get("model_cfg", cfg)
+    raise ValueError(
+        f"Unknown model '{model_name}'. Built-ins: {list_model_configs()}"
+    )
+
+
+def resolve_clip_cfg(model_name: str, **overrides) -> CLIPCfg:
+    raw = load_model_config(model_name)
+    raw.update(overrides)
+    return CLIPCfg.from_dict(raw)

@@ -1,0 +1,227 @@
+"""torch open_clip state-dict <-> JAX params converters.
+
+The north star requires checkpoint-compatible embeddings, so this module maps
+the reference's torch CLIP layout (ref: src/open_clip/model.py:265-479 and
+factory.py:153-225 ``load_state_dict``/``load_checkpoint``) onto our flax
+pytree, handling the layout differences:
+
+- torch ``nn.Linear.weight`` is (out, in); flax ``Dense.kernel`` is (in, out).
+- torch MHA fuses qkv into ``attn.in_proj_weight`` (3W, W); our fused Dense
+  ``attn/qkv/kernel`` is its transpose (W, 3W).
+- torch ``conv1.weight`` is OIHW; flax Conv kernel is HWIO.
+- ``visual.proj`` / ``text_projection`` are raw Parameters used as ``x @ P``
+  in both frameworks -> copied as-is.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def load_torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy without requiring CUDA."""
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return load_file(str(path))
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    sd = {}
+    for k, v in obj.items():
+        # strip DDP / torch.compile prefixes (ref: factory.py:153-179)
+        for prefix in ("module.", "_orig_mod."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        sd[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return sd
+
+
+def _convert_block(sd: Dict[str, np.ndarray], tprefix: str, jprefix: str, out: Dict[str, np.ndarray]):
+    """One transformer resblock: torch `{tprefix}.` -> flax `{jprefix}/`."""
+    out[f"{jprefix}/ln_1/scale"] = sd[f"{tprefix}.ln_1.weight"]
+    out[f"{jprefix}/ln_1/bias"] = sd[f"{tprefix}.ln_1.bias"]
+    out[f"{jprefix}/ln_2/scale"] = sd[f"{tprefix}.ln_2.weight"]
+    out[f"{jprefix}/ln_2/bias"] = sd[f"{tprefix}.ln_2.bias"]
+    out[f"{jprefix}/attn/qkv/kernel"] = sd[f"{tprefix}.attn.in_proj_weight"].T
+    out[f"{jprefix}/attn/qkv/bias"] = sd[f"{tprefix}.attn.in_proj_bias"]
+    out[f"{jprefix}/attn/out/kernel"] = sd[f"{tprefix}.attn.out_proj.weight"].T
+    out[f"{jprefix}/attn/out/bias"] = sd[f"{tprefix}.attn.out_proj.bias"]
+    out[f"{jprefix}/mlp/c_fc/kernel"] = sd[f"{tprefix}.mlp.c_fc.weight"].T
+    out[f"{jprefix}/mlp/c_fc/bias"] = sd[f"{tprefix}.mlp.c_fc.bias"]
+    out[f"{jprefix}/mlp/c_proj/kernel"] = sd[f"{tprefix}.mlp.c_proj.weight"].T
+    out[f"{jprefix}/mlp/c_proj/bias"] = sd[f"{tprefix}.mlp.c_proj.bias"]
+    for ls_t, ls_j in (("ls_1.gamma", "ls_1"), ("ls_2.gamma", "ls_2")):
+        if f"{tprefix}.{ls_t}" in sd:
+            out[f"{jprefix}/{ls_j}"] = sd[f"{tprefix}.{ls_t}"]
+
+
+def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert an open_clip CLIP state dict to our flax params tree."""
+    out: Dict[str, np.ndarray] = {}
+    n_vis = max(
+        (int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")),
+        default=-1,
+    ) + 1
+    out["visual/class_embedding"] = sd["visual.class_embedding"]
+    out["visual/positional_embedding"] = sd["visual.positional_embedding"]
+    out["visual/conv1/kernel"] = sd["visual.conv1.weight"].transpose(2, 3, 1, 0)
+    if "visual.ln_pre.weight" in sd:
+        out["visual/ln_pre/scale"] = sd["visual.ln_pre.weight"]
+        out["visual/ln_pre/bias"] = sd["visual.ln_pre.bias"]
+    out["visual/ln_post/scale"] = sd["visual.ln_post.weight"]
+    out["visual/ln_post/bias"] = sd["visual.ln_post.bias"]
+    out["visual/proj"] = sd["visual.proj"]
+    for i in range(n_vis):
+        _convert_block(
+            sd, f"visual.transformer.resblocks.{i}", f"visual/transformer/resblocks_{i}", out
+        )
+
+    if "token_embedding.weight" in sd:  # CLIP text tower at top level
+        n_txt = max(
+            (int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")),
+            default=-1,
+        ) + 1
+        out["text/token_embedding/embedding"] = sd["token_embedding.weight"]
+        out["text/positional_embedding"] = sd["positional_embedding"]
+        out["text/ln_final/scale"] = sd["ln_final.weight"]
+        out["text/ln_final/bias"] = sd["ln_final.bias"]
+        out["text/text_projection"] = sd["text_projection"]
+        for i in range(n_txt):
+            _convert_block(
+                sd, f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}", out
+            )
+
+    out["logit_scale"] = sd["logit_scale"].reshape(())
+    if "logit_bias" in sd:
+        out["logit_bias"] = sd["logit_bias"].reshape(())
+    return _unflatten(out)
+
+
+def jax_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse mapping, for exporting checkpoints the reference stack can load."""
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+
+    def put_block(jprefix: str, tprefix: str):
+        out[f"{tprefix}.ln_1.weight"] = flat[f"{jprefix}/ln_1/scale"]
+        out[f"{tprefix}.ln_1.bias"] = flat[f"{jprefix}/ln_1/bias"]
+        out[f"{tprefix}.ln_2.weight"] = flat[f"{jprefix}/ln_2/scale"]
+        out[f"{tprefix}.ln_2.bias"] = flat[f"{jprefix}/ln_2/bias"]
+        out[f"{tprefix}.attn.in_proj_weight"] = flat[f"{jprefix}/attn/qkv/kernel"].T
+        out[f"{tprefix}.attn.in_proj_bias"] = flat[f"{jprefix}/attn/qkv/bias"]
+        out[f"{tprefix}.attn.out_proj.weight"] = flat[f"{jprefix}/attn/out/kernel"].T
+        out[f"{tprefix}.attn.out_proj.bias"] = flat[f"{jprefix}/attn/out/bias"]
+        out[f"{tprefix}.mlp.c_fc.weight"] = flat[f"{jprefix}/mlp/c_fc/kernel"].T
+        out[f"{tprefix}.mlp.c_fc.bias"] = flat[f"{jprefix}/mlp/c_fc/bias"]
+        out[f"{tprefix}.mlp.c_proj.weight"] = flat[f"{jprefix}/mlp/c_proj/kernel"].T
+        out[f"{tprefix}.mlp.c_proj.bias"] = flat[f"{jprefix}/mlp/c_proj/bias"]
+
+    i = 0
+    while f"visual/transformer/resblocks_{i}/ln_1/scale" in flat:
+        put_block(f"visual/transformer/resblocks_{i}", f"visual.transformer.resblocks.{i}")
+        i += 1
+    out["visual.class_embedding"] = flat["visual/class_embedding"]
+    out["visual.positional_embedding"] = flat["visual/positional_embedding"]
+    out["visual.conv1.weight"] = flat["visual/conv1/kernel"].transpose(3, 2, 0, 1)
+    if "visual/ln_pre/scale" in flat:
+        out["visual.ln_pre.weight"] = flat["visual/ln_pre/scale"]
+        out["visual.ln_pre.bias"] = flat["visual/ln_pre/bias"]
+    out["visual.ln_post.weight"] = flat["visual/ln_post/scale"]
+    out["visual.ln_post.bias"] = flat["visual/ln_post/bias"]
+    out["visual.proj"] = flat["visual/proj"]
+
+    if "text/token_embedding/embedding" in flat:
+        i = 0
+        while f"text/transformer/resblocks_{i}/ln_1/scale" in flat:
+            put_block(f"text/transformer/resblocks_{i}", f"transformer.resblocks.{i}")
+            i += 1
+        out["token_embedding.weight"] = flat["text/token_embedding/embedding"]
+        out["positional_embedding"] = flat["text/positional_embedding"]
+        out["ln_final.weight"] = flat["text/ln_final/scale"]
+        out["ln_final.bias"] = flat["text/ln_final/bias"]
+        out["text_projection"] = flat["text/text_projection"]
+
+    out["logit_scale"] = flat["logit_scale"]
+    if "logit_bias" in flat:
+        out["logit_bias"] = flat["logit_bias"]
+    return out
+
+
+def resize_pos_embed(
+    pe: np.ndarray, target_len: int, num_prefix_tokens: int = 1
+) -> np.ndarray:
+    """Bilinear-resize a ViT positional embedding grid to a new sequence
+    length (ref: src/open_clip/model.py:792-856, pos_embed.py)."""
+    if pe.shape[0] == target_len:
+        return pe
+    prefix, grid = pe[:num_prefix_tokens], pe[num_prefix_tokens:]
+    old = int(np.sqrt(grid.shape[0]))
+    new = int(np.sqrt(target_len - num_prefix_tokens))
+    import jax
+
+    g = grid.reshape(1, old, old, -1)
+    g = jax.image.resize(g, (1, new, new, g.shape[-1]), method="bilinear")
+    g = np.asarray(g).reshape(new * new, -1)
+    return np.concatenate([prefix, g], axis=0)
+
+
+def convert_torch_checkpoint(path: Path, reference_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a torch open_clip checkpoint and fit it to ``reference_params``,
+    resizing pos-embeds and verifying shapes (ref: factory.py:181-225)."""
+    import jax
+
+    sd = load_torch_state_dict(path)
+    converted = torch_to_jax_params(sd)
+    ref_flat = _flatten(reference_params)
+    conv_flat = _flatten(converted)
+    out: Dict[str, np.ndarray] = {}
+    missing, unexpected = [], []
+    for k, ref in ref_flat.items():
+        if k not in conv_flat:
+            missing.append(k)
+            out[k] = np.asarray(ref)
+            continue
+        v = conv_flat[k]
+        if k.endswith("positional_embedding") and v.shape != ref.shape and v.ndim == 2:
+            prefix = 1 if "visual" in k else 0
+            v = resize_pos_embed(v, ref.shape[0], num_prefix_tokens=prefix)
+        if tuple(v.shape) != tuple(ref.shape):
+            raise ValueError(f"Shape mismatch for {k}: ckpt {v.shape} vs model {ref.shape}")
+        out[k] = v.astype(np.asarray(ref).dtype)
+    unexpected = [k for k in conv_flat if k not in ref_flat]
+    if missing:
+        log.warning("Missing keys kept at init: %s", missing[:8])
+    if unexpected:
+        log.warning("Unexpected checkpoint keys ignored: %s", unexpected[:8])
+    return jax.tree.map(lambda x: x, _unflatten(out))

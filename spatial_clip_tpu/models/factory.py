@@ -1,0 +1,290 @@
+"""Model/tokenizer/transform factory (ref: src/open_clip/factory.py).
+
+API parity targets: ``create_model`` (factory.py:251), ``create_model_and_
+transforms`` (:829-966), ``get_tokenizer`` (:628), ``list_models`` (:56),
+``load_checkpoint`` (:181-225) — re-shaped for JAX: a model is an immutable
+flax module plus a params pytree, bundled in :class:`ModelBundle`.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_clip_tpu.models.clip import CLIP
+from spatial_clip_tpu.models.config import (
+    CLIPCfg,
+    list_model_configs,
+    resolve_clip_cfg,
+)
+from spatial_clip_tpu.models.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+from spatial_clip_tpu.models.tokenizer import (
+    DEFAULT_CONTEXT_LENGTH,
+    GeneTokenizer,
+    HashTokenizer,
+    HFTokenizer,
+    SimpleTokenizer,
+)
+from spatial_clip_tpu.models.transforms import (
+    AugmentationCfg,
+    HostImageTransform,
+    PreprocessCfg,
+    image_transform,
+)
+
+log = logging.getLogger(__name__)
+
+_PRECISION_DTYPES = {
+    "fp32": jnp.float32,
+    "float32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "amp_bf16": jnp.bfloat16,
+    "pure_bf16": jnp.bfloat16,
+}
+
+
+def list_models():
+    """Enumerate built-in architectures (ref: factory.py:56)."""
+    return list_model_configs()
+
+
+@dataclass
+class ModelBundle:
+    """A flax CLIP module + its params and metadata.
+
+    The JAX-idiomatic analogue of the reference's stateful nn.Module: all
+    methods are pure functions of ``params`` so they can be jitted/pjitted
+    freely by the caller.
+    """
+
+    model: CLIP
+    params: Any
+    cfg: CLIPCfg
+    model_name: str = ""
+    preprocess_cfg: PreprocessCfg = field(default_factory=PreprocessCfg)
+
+    def encode_image(self, images, params=None, normalize: bool = True):
+        return self.model.apply(
+            {"params": self.params if params is None else params},
+            images,
+            normalize,
+            method=CLIP.encode_image,
+        )
+
+    def encode_text(self, text, params=None, normalize: bool = True):
+        return self.model.apply(
+            {"params": self.params if params is None else params},
+            text,
+            normalize,
+            method=CLIP.encode_text,
+        )
+
+    def __call__(self, images=None, text=None, params=None, deterministic=True, rngs=None):
+        return self.model.apply(
+            {"params": self.params if params is None else params},
+            images,
+            text,
+            deterministic,
+            rngs=rngs,
+        )
+
+    @property
+    def logit_scale(self):
+        return jnp.exp(self.params["logit_scale"])
+
+    def example_inputs(self, batch_size: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+        v = self.cfg.vision_cfg
+        size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
+        images = np.zeros((batch_size, size, size, 3), dtype=np.uint8)
+        if self.cfg.gene_cfg is not None:
+            text = np.zeros((batch_size, self.cfg.gene_cfg.num_genes), dtype=np.float32)
+        else:
+            text = np.zeros(
+                (batch_size, self.cfg.text_cfg.context_length), dtype=np.int32
+            )
+        return images, text
+
+
+def init_params(model: CLIP, cfg: CLIPCfg, seed: int = 0):
+    v = cfg.vision_cfg
+    size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    if cfg.gene_cfg is not None:
+        text = jnp.zeros((1, cfg.gene_cfg.num_genes), jnp.float32)
+    else:
+        text = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), images, text)
+    return variables["params"]
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "bf16",
+    seed: int = 0,
+    force_quick_gelu: bool = False,
+    remat: bool = False,
+    init_logit_scale: Optional[float] = None,
+    init_logit_bias: Optional[float] = None,
+    **cfg_overrides,
+) -> ModelBundle:
+    """Build a CLIP model bundle (ref: factory.py:251-430).
+
+    ``pretrained`` may be a path to a checkpoint (.npz / .msgpack / orbax dir /
+    torch .pt via models.convert) or a registry tag; remote tags are resolved
+    through models.pretrained (download gated on network availability).
+    """
+    cfg = resolve_clip_cfg(model_name, **cfg_overrides)
+    if force_quick_gelu:
+        cfg.quick_gelu = True
+    if init_logit_scale is not None:
+        cfg.init_logit_scale = init_logit_scale
+    if init_logit_bias is not None:
+        cfg.init_logit_bias = init_logit_bias
+    dtype = _PRECISION_DTYPES.get(precision, jnp.bfloat16)
+    model = CLIP(cfg=cfg, dtype=dtype, remat=remat)
+    params = init_params(model, cfg, seed=seed)
+
+    if pretrained:
+        params = load_checkpoint(params, pretrained, model_name=model_name)
+
+    pp = PreprocessCfg(
+        size=cfg.vision_cfg.image_size,
+        mean=OPENAI_DATASET_MEAN,
+        std=OPENAI_DATASET_STD,
+    )
+    return ModelBundle(
+        model=model, params=params, cfg=cfg, model_name=model_name, preprocess_cfg=pp
+    )
+
+
+def load_checkpoint(params, checkpoint_path: Union[str, Path], model_name: str = ""):
+    """Load weights into an existing params pytree (ref: factory.py:181-225).
+
+    Supports: .npz flat dict, flax .msgpack, orbax directories, and torch
+    open_clip state dicts (.pt/.bin/.safetensors) via models.convert.
+    """
+    path = Path(checkpoint_path)
+    if not path.exists():
+        from spatial_clip_tpu.models.pretrained import download_pretrained
+
+        resolved = download_pretrained(model_name, str(checkpoint_path))
+        if resolved is None:
+            raise FileNotFoundError(
+                f"Pretrained spec '{checkpoint_path}' is neither a file nor a "
+                f"resolvable registry tag (offline?)."
+            )
+        path = Path(resolved)
+
+    suffix = path.suffix.lower()
+    if suffix == ".npz":
+        flat = dict(np.load(path))
+        from spatial_clip_tpu.train.checkpoints import unflatten_params
+
+        loaded = unflatten_params(flat)
+    elif suffix == ".msgpack":
+        from flax import serialization
+
+        loaded = serialization.from_bytes(params, path.read_bytes())
+    elif suffix in (".pt", ".pth", ".bin", ".safetensors"):
+        from spatial_clip_tpu.models.convert import convert_torch_checkpoint
+
+        loaded = convert_torch_checkpoint(path, params)
+    elif path.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        loaded = ckptr.restore(path.resolve(), params)
+    else:
+        raise ValueError(f"Unrecognized checkpoint format: {path}")
+    return loaded
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "bf16",
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+    image_interpolation: Optional[str] = None,
+    aug_cfg: Optional[Union[dict, AugmentationCfg]] = None,
+    seed: int = 0,
+    **model_kwargs,
+) -> Tuple[ModelBundle, HostImageTransform, HostImageTransform]:
+    """Ref: factory.py:829-966. Returns (bundle, preprocess_train, preprocess_val)."""
+    bundle = create_model(
+        model_name, pretrained=pretrained, precision=precision, seed=seed, **model_kwargs
+    )
+    pp = bundle.preprocess_cfg
+    mean = tuple(image_mean) if image_mean else pp.mean
+    std = tuple(image_std) if image_std else pp.std
+    interp = image_interpolation or pp.interpolation
+    train_t = image_transform(
+        pp.size, is_train=True, mean=mean, std=std, interpolation=interp,
+        aug_cfg=aug_cfg, seed=seed,
+    )
+    val_t = image_transform(
+        pp.size, is_train=False, mean=mean, std=std, interpolation=interp
+    )
+    return bundle, train_t, val_t
+
+
+def get_tokenizer(
+    model_name: str = "",
+    context_length: Optional[int] = None,
+    gene_vocab: Optional[Union[str, Path, list]] = None,
+    bpe_path: Optional[str] = None,
+    **kwargs,
+):
+    """Tokenizer factory (ref: factory.py:628-686).
+
+    Resolution order: HF tokenizer if the text config names one; gene
+    tokenizer if a gene vocab is given; byte-BPE SimpleTokenizer if a merges
+    file is available; HashTokenizer fallback (standalone default).
+    """
+    cfg = resolve_clip_cfg(model_name) if model_name else CLIPCfg()
+    ctx = context_length or cfg.text_cfg.context_length or DEFAULT_CONTEXT_LENGTH
+    if cfg.text_cfg.hf_tokenizer_name:
+        return HFTokenizer(cfg.text_cfg.hf_tokenizer_name, context_length=ctx, **kwargs)
+    if gene_vocab is not None:
+        return GeneTokenizer(gene_vocab, context_length=ctx)
+    try:
+        return SimpleTokenizer(bpe_path=bpe_path, context_length=ctx)
+    except FileNotFoundError:
+        log.info("No BPE vocab available; using HashTokenizer fallback")
+        return HashTokenizer(vocab_size=cfg.text_cfg.vocab_size, context_length=ctx)
+
+
+def create_loss(args) -> Callable:
+    """Loss factory keyed the same way as the reference (ref: factory.py:790-827).
+
+    ``args`` may be a namespace/dict with ``use_spatial_loss``, ``siglip``,
+    ``local_loss``, etc. Returns a pure loss callable from
+    spatial_clip_tpu.losses.
+    """
+    from spatial_clip_tpu.losses import make_loss
+
+    get = (lambda k, d=None: args.get(k, d)) if isinstance(args, dict) else (
+        lambda k, d=None: getattr(args, k, d)
+    )
+    if get("use_spatial_loss") or get("name") == "spatial":
+        kind = "spatial"
+    elif get("siglip") or get("name") == "siglip":
+        kind = "siglip"
+    else:
+        kind = "clip"
+    return make_loss(
+        kind,
+        local_loss=bool(get("local_loss", True)),
+        cap_logit_scale=get("cap_logit_scale"),
+        temp_reg_weight=float(get("temp_reg_weight", 0.0) or 0.0),
+        neighbor_alpha_scale=float(get("neighbor_alpha_scale", 1.0) or 1.0),
+        float32_logits=bool(get("float32_logits", True)),
+        dist_impl=get("loss_dist_impl", "gather"),
+    )

@@ -1,0 +1,338 @@
+"""Tokenizers for gene sentences and natural-language captions.
+
+The reference uses a byte-level BPE ``SimpleTokenizer`` over the OpenAI CLIP
+vocab (ref: src/open_clip/tokenizer.py:133-269, ``tokenize`` :276). We provide:
+
+- ``SimpleTokenizer``: a from-scratch byte-BPE implementation. The merges
+  file (``bpe_simple_vocab_16e6.txt.gz``) is a public asset NOT bundled here;
+  pass ``bpe_path=`` or set ``$SPATIAL_CLIP_BPE_PATH``.
+- ``GeneTokenizer``: closed-vocabulary tokenizer over a gene-symbol list
+  (e.g. ``global_hvgs.txt``) — the natural tokenizer for "gene sentences"
+  (space-separated top-k expressed gene symbols), with one token per gene.
+- ``HashTokenizer``: dependency-free fallback hashing whitespace tokens into
+  the vocab; used for smoke tests and synthetic data.
+
+All tokenizers are callables ``texts -> np.ndarray[int32] (B, context_length)``
+— the array-first equivalent of the reference's tensor contract.
+"""
+from __future__ import annotations
+
+import gzip
+import html
+import os
+import re
+from functools import lru_cache
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+DEFAULT_CONTEXT_LENGTH = 77
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte <-> printable-unicode map (GPT-2 byte-level BPE)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def canonicalize_text(text: str) -> str:
+    return whitespace_clean(basic_clean(text)).lower()
+
+
+def _resolve_bpe_path(bpe_path: Optional[str]) -> Optional[Path]:
+    if bpe_path:
+        return Path(bpe_path)
+    env = os.environ.get("SPATIAL_CLIP_BPE_PATH")
+    return Path(env) if env else None
+
+
+class SimpleTokenizer:
+    """Byte-level BPE tokenizer (CLIP-compatible when given the CLIP merges).
+
+    Vocabulary layout matches the reference (ref: tokenizer.py:133-180):
+    256 byte symbols, 256 end-of-word symbols, merge tokens, then
+    ``<start_of_text>``/``<end_of_text>`` special tokens.
+    """
+
+    WORD_PATTERN = (
+        r"<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+    )
+
+    def __init__(
+        self,
+        bpe_path: Optional[str] = None,
+        context_length: int = DEFAULT_CONTEXT_LENGTH,
+        n_merges: int = 48894,
+    ):
+        path = _resolve_bpe_path(bpe_path)
+        if path is None or not path.exists():
+            raise FileNotFoundError(
+                "SimpleTokenizer needs a BPE merges file; pass bpe_path= or set "
+                "$SPATIAL_CLIP_BPE_PATH (e.g. the public CLIP "
+                "bpe_simple_vocab_16e6.txt.gz). For gene sentences use "
+                "GeneTokenizer instead."
+            )
+        self.context_length = context_length
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # first line is a version header; merge list is capped like the ref
+        merges = [tuple(l.split()) for l in lines[1 : n_merges + 1] if l.strip()]
+
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab.extend("".join(m) for m in merges)
+        vocab.extend(["<start_of_text>", "<end_of_text>"])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache = {
+            "<start_of_text>": "<start_of_text>",
+            "<end_of_text>": "<end_of_text>",
+        }
+        try:
+            import regex
+
+            self.pat = regex.compile(self.WORD_PATTERN, regex.IGNORECASE)
+            self._findall = self.pat.findall
+        except ImportError:  # pragma: no cover - regex ships with transformers
+            pat = re.compile(
+                r"<start_of_text>|<end_of_text>|'s|'t|'re|'ve|'m|'ll|'d|"
+                r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+                re.IGNORECASE,
+            )
+            self._findall = pat.findall
+        self.sot_token = self.encoder["<start_of_text>"]
+        self.eot_token = self.encoder["<end_of_text>"]
+        self.vocab_size = len(self.encoder)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = canonicalize_text(text)
+        for tok in self._findall(text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+        return ids
+
+    def decode(self, ids: Iterable[int]) -> str:
+        text = "".join(self.decoder[int(i)] for i in ids)
+        raw = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        out = np.zeros((len(texts), L), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.sot_token] + self.encode(text)[: L - 2] + [self.eot_token]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class GeneTokenizer:
+    """One-token-per-gene tokenizer over a fixed gene vocabulary.
+
+    Gene sentences are space-separated HGNC symbols ordered by expression rank
+    (ref: src/spaglam_preproc/core/gene_encoder.py:5-29); a closed vocab with
+    one id per symbol preserves all information with zero BPE overhead.
+
+    id layout: 0=<pad>, 1=<sot>, 2=<eot>, 3=<unk>, gene_i -> 4+i.
+    ``vocab_size`` is padded up to a multiple of 128 for MXU-friendly
+    embedding tables.
+    """
+
+    PAD, SOT, EOT, UNK = 0, 1, 2, 3
+    N_SPECIAL = 4
+
+    def __init__(
+        self,
+        genes: Union[str, Path, Sequence[str]],
+        context_length: int = DEFAULT_CONTEXT_LENGTH,
+        pad_vocab_to_multiple: int = 128,
+    ):
+        if isinstance(genes, (str, Path)):
+            with open(genes) as f:
+                genes = [line.strip() for line in f if line.strip()]
+        self.genes = list(genes)
+        self.gene_to_id = {
+            g.upper(): i + self.N_SPECIAL for i, g in enumerate(self.genes)
+        }
+        self.context_length = context_length
+        raw = self.N_SPECIAL + len(self.genes)
+        m = pad_vocab_to_multiple
+        self.vocab_size = ((raw + m - 1) // m) * m
+        self.sot_token = self.SOT
+        self.eot_token = self.EOT
+
+    def encode(self, text: str) -> List[int]:
+        return [
+            self.gene_to_id.get(tok.upper(), self.UNK)
+            for tok in whitespace_clean(basic_clean(text)).split(" ")
+            if tok
+        ]
+
+    def decode(self, ids: Iterable[int]) -> str:
+        inv = {v: k for k, v in self.gene_to_id.items()}
+        return " ".join(inv[int(i)] for i in ids if int(i) in inv)
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        out = np.zeros((len(texts), L), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.SOT] + self.encode(text)[: L - 2] + [self.EOT]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class HashTokenizer:
+    """Deterministic hashing tokenizer — no vocab asset required.
+
+    Maps whitespace tokens into ``[n_special, vocab_size)`` buckets with a
+    stable FNV-1a hash. Used as the default fallback so the framework runs
+    standalone; swap in SimpleTokenizer/GeneTokenizer for production.
+    """
+
+    PAD, SOT, EOT = 0, 1, 2
+    N_SPECIAL = 4
+
+    def __init__(
+        self, vocab_size: int = 49408, context_length: int = DEFAULT_CONTEXT_LENGTH
+    ):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        self.sot_token = self.SOT
+        self.eot_token = self.EOT
+
+    @staticmethod
+    def _fnv1a(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h ^= b
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def encode(self, text: str) -> List[int]:
+        span = self.vocab_size - self.N_SPECIAL
+        return [
+            self.N_SPECIAL + self._fnv1a(tok) % span
+            for tok in canonicalize_text(text).split(" ")
+            if tok
+        ]
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        out = np.zeros((len(texts), L), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.SOT] + self.encode(text)[: L - 2] + [self.EOT]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class HFTokenizer:
+    """HuggingFace tokenizer adapter (ref: tokenizer.py:405-460)."""
+
+    def __init__(
+        self, tokenizer_name: str, context_length: int = DEFAULT_CONTEXT_LENGTH, **kwargs
+    ):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name, **kwargs)
+        self.context_length = context_length
+        self.vocab_size = self.tokenizer.vocab_size
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        enc = self.tokenizer(
+            list(texts),
+            return_tensors="np",
+            max_length=L,
+            padding="max_length",
+            truncation=True,
+        )
+        return enc["input_ids"].astype(np.int32)

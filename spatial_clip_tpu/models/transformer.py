@@ -1,0 +1,527 @@
+"""ViT and text transformer towers, TPU-first (flax.linen).
+
+Functional re-design of the reference towers (ref: src/open_clip/transformer.py:
+Attention :92, ResidualAttentionBlock :238, Transformer :457, VisionTransformer
+:583, TextTransformer :947, text_global_pool :921, PatchDropout :48).
+
+TPU notes:
+- params are fp32, compute is bf16 by default (``dtype``); softmax and
+  LayerNorm statistics accumulate in fp32.
+- attention QKV is a single fused projection so the per-block weights form one
+  large MXU matmul (and map 1:1 onto torch ``attn.in_proj_weight`` for
+  checkpoint conversion, see models/convert.py).
+- all shapes are static; pooling variants are compile-time branches.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenAI CLIP's sigmoid-approx GELU (x * sigmoid(1.702 x))."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of compute dtype.
+
+    Params are created flat (``scale``/``bias``) so torch checkpoints map
+    directly (``ln_x.weight -> scale``, see models/convert.py).
+    """
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = jnp.square(x32 - mean).mean(axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    width: int
+    hidden: int
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(x)
+        x = self.act(x)
+        x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Fused-QKV multi-head attention with fp32 softmax.
+
+    Mirrors the semantics of ref transformer.py:92-213 (incl. optional
+    additive attention mask) but lets XLA schedule the matmuls on the MXU.
+    """
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        B, L, D = x.shape
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(
+            3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(B, L, self.heads, head_dim)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        scale = head_dim ** -0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+        if attn_mask is not None:
+            attn = attn + attn_mask.astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
+        return nn.Dense(
+            self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
+        )(out)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-LN transformer block with optional layer-scale
+    (ref: transformer.py:238-301 ``ResidualAttentionBlock``)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        def scaled(y, name):
+            if self.ls_init_value is None:
+                return y
+            gamma = self.param(
+                name, nn.initializers.constant(self.ls_init_value), (self.width,),
+                jnp.float32,
+            )
+            return y * gamma.astype(self.dtype)
+
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1")(x)
+        h = MultiHeadAttention(
+            width=self.width, heads=self.heads, dtype=self.dtype, name="attn"
+        )(h, attn_mask)
+        x = x + scaled(h, "ls_1")
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_2")(x)
+        h = MLP(
+            width=self.width,
+            hidden=int(self.width * self.mlp_ratio),
+            dtype=self.dtype,
+            act=self.act,
+            name="mlp",
+        )(h)
+        x = x + scaled(h, "ls_2")
+        return x
+
+
+class Transformer(nn.Module):
+    """A stack of residual blocks (ref: transformer.py:457-577)."""
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.gelu
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        block_cls = ResidualBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualBlock, static_argnums=())
+        for i in range(self.layers):
+            x = block_cls(
+                width=self.width,
+                heads=self.heads,
+                mlp_ratio=self.mlp_ratio,
+                ls_init_value=self.ls_init_value,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                act=self.act,
+                name=f"resblocks_{i}",
+            )(x, attn_mask)
+        return x
+
+
+def sincos_2d_pos_embed(width: int, grid_h: int, grid_w: int) -> jnp.ndarray:
+    """2D sin-cos positional embedding (ref: src/open_clip/pos_embed.py:20-96)."""
+    assert width % 4 == 0
+    quarter = width // 4
+
+    def axis_embed(n):
+        pos = jnp.arange(n, dtype=jnp.float32)
+        omega = 1.0 / (10000 ** (jnp.arange(quarter, dtype=jnp.float32) / quarter))
+        out = jnp.einsum("p,d->pd", pos, omega)
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)  # (n, width/2)
+
+    eh = axis_embed(grid_h)  # (H, W/2)
+    ew = axis_embed(grid_w)
+    grid = jnp.concatenate(
+        [
+            jnp.repeat(eh[:, None, :], grid_w, axis=1),
+            jnp.repeat(ew[None, :, :], grid_h, axis=0),
+        ],
+        axis=-1,
+    )  # (H, W, width)
+    return grid.reshape(grid_h * grid_w, width)
+
+
+class PatchDropout(nn.Module):
+    """Keep a random subset of patch tokens during training
+    (ref: transformer.py:48-89; FLIP-style, PAPERS.md 'Scaling ... via Masking')."""
+
+    prob: float
+    exclude_first_token: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.prob <= 0.0:
+            return x
+        B, L, D = x.shape
+        start = 1 if self.exclude_first_token else 0
+        n_tokens = L - start
+        n_keep = max(1, int(n_tokens * (1.0 - self.prob)))
+        rng = self.make_rng("dropout")
+        # one shared permutation per batch-row; static output shape (n_keep)
+        noise = jax.random.uniform(rng, (B, n_tokens))
+        keep_idx = jnp.argsort(noise, axis=1)[:, :n_keep]
+        tokens = jnp.take_along_axis(x[:, start:], keep_idx[:, :, None], axis=1)
+        if start:
+            tokens = jnp.concatenate([x[:, :1], tokens], axis=1)
+        return tokens
+
+
+class AttentionalPooler(nn.Module):
+    """Query-based attention pooling (ref: transformer.py:215-236)."""
+
+    d_model: int
+    context_dim: int
+    heads: int = 8
+    n_queries: int = 256
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        query = self.param(
+            "query", nn.initializers.normal(0.02), (self.n_queries, self.d_model),
+            jnp.float32,
+        )
+        q = jnp.broadcast_to(query[None], (B, self.n_queries, self.d_model)).astype(self.dtype)
+        x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_k")(x)
+        q = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_q")(q)
+        head_dim = self.d_model // self.heads
+        qp = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="q_proj")(q)
+        kp = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="k_proj")(x)
+        vp = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="v_proj")(x)
+
+        def split(t, L):
+            return t.reshape(B, L, self.heads, head_dim)
+
+        qp, kp, vp = split(qp, self.n_queries), split(kp, x.shape[1]), split(vp, x.shape[1])
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qp * head_dim ** -0.5, kp).astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp).reshape(B, self.n_queries, self.d_model)
+        return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
+
+
+class VisionTransformer(nn.Module):
+    """ViT image tower (ref: transformer.py:583-918).
+
+    Patchify is a Conv with stride=patch_size — a single large MXU matmul per
+    image. Returns the pooled, projected embedding (and optionally tokens).
+    """
+
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    ls_init_value: Optional[float] = None
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"
+    final_ln_after_pool: bool = False
+    pool_type: str = "tok"
+    output_tokens: bool = False
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.gelu
+    remat: bool = False
+
+    def _pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.pool_type == "avg":
+            return x[:, 1:].mean(axis=1), x[:, 1:]
+        if self.pool_type == "tok":
+            return x[:, 0], x[:, 1:]
+        return x.mean(axis=1), x  # 'none' fallback: caller handles tokens
+
+    @nn.compact
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ):
+        """images: (B, H, W, 3) float in model input space (NHWC, TPU-native)."""
+        B = images.shape[0]
+        x = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(images.astype(self.dtype))
+        x = x.reshape(B, -1, self.width)  # (B, grid*grid, width)
+        n_patches = x.shape[1]
+
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(self.width ** -0.5), (self.width,),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype), x],
+            axis=1,
+        )
+        if self.pos_embed_type == "sin_cos_2d":
+            g = int(n_patches ** 0.5)
+            pe_grid = sincos_2d_pos_embed(self.width, g, g)
+            pos = jnp.concatenate([jnp.zeros((1, self.width)), pe_grid], axis=0)
+        else:
+            pos = self.param(
+                "positional_embedding",
+                nn.initializers.normal(self.width ** -0.5),
+                (n_patches + 1, self.width),
+                jnp.float32,
+            )
+        x = x + pos[None].astype(self.dtype)
+
+        if self.patch_dropout > 0:
+            x = PatchDropout(prob=self.patch_dropout, name="patch_drop")(
+                x, deterministic=deterministic
+            )
+        if not self.no_ln_pre:
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_pre")(x)
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            act=self.act,
+            remat=self.remat,
+            name="transformer",
+        )(x)
+
+        if self.attentional_pool:
+            x = AttentionalPooler(
+                d_model=self.width,
+                context_dim=self.width,
+                heads=self.attn_pooler_heads,
+                n_queries=self.attn_pooler_queries,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                name="attn_pool",
+            )(x)
+            pooled, tokens = x[:, 0], x[:, 1:]
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(pooled)
+        elif self.final_ln_after_pool:
+            pooled, tokens = self._pool(x)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(pooled)
+        else:
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(x)
+            pooled, tokens = self._pool(x)
+
+        proj = self.param(
+            "proj", nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.output_dim), jnp.float32,
+        )
+        pooled = pooled @ proj.astype(self.dtype)
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+def text_global_pool(
+    x: jnp.ndarray, tokens: Optional[jnp.ndarray], pool_type: str
+) -> jnp.ndarray:
+    """Pool text features (ref: transformer.py:921-944)."""
+    if pool_type == "first":
+        return x[:, 0]
+    if pool_type == "last":
+        return x[:, -1]
+    if pool_type == "avg":
+        return x.mean(axis=1)
+    if pool_type == "argmax":
+        # EOT token has the highest id in the CLIP vocab
+        idx = jnp.argmax(tokens, axis=-1)
+        return jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+    return x.mean(axis=1)
+
+
+class TextTransformer(nn.Module):
+    """Causal text tower (ref: transformer.py:947-1130)."""
+
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    ls_init_value: Optional[float] = None
+    embed_cls: bool = False
+    no_causal_mask: bool = False
+    pad_id: int = 0
+    pool_type: str = "argmax"
+    final_ln_after_pool: bool = False
+    proj_bias: bool = False
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    act: Callable = nn.gelu
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, deterministic: bool = True):
+        """text: (B, context_length) int32 token ids."""
+        B, L = text.shape
+        tok_emb = nn.Embed(
+            self.vocab_size, self.width, dtype=self.dtype, param_dtype=jnp.float32,
+            name="token_embedding",
+        )
+        x = tok_emb(text)
+        seq_len = L
+        if self.embed_cls:
+            cls = self.param(
+                "cls_emb", nn.initializers.normal(0.01), (self.width,), jnp.float32
+            )
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype)],
+                axis=1,
+            )
+            seq_len += 1
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (seq_len, self.width), jnp.float32,
+        )
+        x = x + pos[None].astype(self.dtype)
+
+        attn_mask = None
+        if not self.no_causal_mask:
+            neg = jnp.finfo(jnp.float32).min
+            causal = jnp.triu(jnp.full((seq_len, seq_len), neg), k=1)
+            attn_mask = causal[None, None]
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            act=self.act,
+            remat=self.remat,
+            name="transformer",
+        )(x, attn_mask)
+
+        if self.embed_cls:
+            pooled = x[:, -1]
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(pooled)
+        elif self.final_ln_after_pool:
+            pooled = text_global_pool(x, text, self.pool_type)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(pooled)
+        else:
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(x)
+            pooled = text_global_pool(x, text, self.pool_type)
+
+        if self.proj_bias:
+            pooled = nn.Dense(
+                self.output_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                name="text_projection",
+            )(pooled)
+        else:
+            proj = self.param(
+                "text_projection", nn.initializers.normal(self.width ** -0.5),
+                (self.width, self.output_dim), jnp.float32,
+            )
+            pooled = pooled @ proj.astype(self.dtype)
+        return pooled
+
+
+class GeneMLPTower(nn.Module):
+    """Rank-weighted gene-expression vector -> embedding MLP.
+
+    TPU-native alternative text tower (north-star config 1): one big
+    (B, num_genes) x (num_genes, width) MXU matmul + residual MLP blocks,
+    instead of a token transformer over gene sentences.
+    """
+
+    num_genes: int = 5000
+    width: int = 1024
+    layers: int = 3
+    output_dim: int = 512
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gene_vector: jnp.ndarray, deterministic: bool = True):
+        x = nn.Dense(
+            self.width, dtype=self.dtype, param_dtype=jnp.float32, name="embed"
+        )(gene_vector.astype(self.dtype))
+        for i in range(self.layers):
+            h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name=f"ln_{i}")(x)
+            h = nn.Dense(
+                self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"fc_{i}",
+            )(h)
+            h = nn.gelu(h)
+            h = nn.Dense(
+                self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"proj_{i}",
+            )(h)
+            x = x + h
+        x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(x)
+        return nn.Dense(
+            self.output_dim, dtype=self.dtype, param_dtype=jnp.float32, name="head"
+        )(x)

@@ -1,0 +1,31 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Mirrors the reference's CPU-simulated DDP strategy (ref:
+tests/test_train.py:65-77, configs/trainer/ddp_sim.yaml) — multi-chip
+correctness is validated on host-platform virtual devices, per SURVEY.md §4.
+"""
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_bundle():
+    """A tiny CLIP model shared across tests (1 CPU core: keep it small)."""
+    from spatial_clip_tpu import create_model
+
+    return create_model("ViT-Test", precision="fp32", seed=0)

@@ -1,0 +1,141 @@
+"""Model library tests (shape contracts, pooling, converter round-trip)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatial_clip_tpu import create_model, create_model_and_transforms, get_tokenizer, list_models
+from spatial_clip_tpu.models.clip import CLIP
+from spatial_clip_tpu.models.config import resolve_clip_cfg
+from spatial_clip_tpu.models.convert import (
+    jax_to_torch_state_dict,
+    torch_to_jax_params,
+)
+from spatial_clip_tpu.models.tokenizer import GeneTokenizer, HashTokenizer
+from spatial_clip_tpu.models.transforms import normalize_batch
+
+
+def test_list_models_has_flagships():
+    names = list_models()
+    assert "ViT-B-32" in names
+    assert "ViT-Test" in names
+    assert "ViT-B-32-GeneMLP" in names
+
+
+def test_forward_shapes_and_norms(tiny_bundle):
+    images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    text = np.ones((2, 16), dtype=np.int32)
+    out = tiny_bundle(images=images, text=text)
+    assert out["image_features"].shape == (2, 32)
+    assert out["text_features"].shape == (2, 32)
+    # features are L2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(out["image_features"], axis=-1), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(out["text_features"], axis=-1), 1.0, rtol=1e-5
+    )
+    # logit_scale starts at exp(ln(1/0.07)) = 1/0.07
+    np.testing.assert_allclose(float(out["logit_scale"]), 1 / 0.07, rtol=1e-4)
+
+
+def test_encode_methods_match_forward(tiny_bundle):
+    images = np.random.default_rng(1).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    out = tiny_bundle(images=images)
+    feats = tiny_bundle.encode_image(images)
+    np.testing.assert_allclose(np.asarray(out["image_features"]), np.asarray(feats), rtol=1e-5)
+
+
+def test_text_argmax_pooling_uses_eot(tiny_bundle):
+    """Moving padding after EOT must not change the embedding (argmax pool)."""
+    t1 = np.zeros((1, 16), dtype=np.int32)
+    t1[0, :4] = [1, 10, 20, 511]  # sot, tokens, eot(=max id)
+    t2 = t1.copy()
+    t2[0, 10] = 0  # padding stays 0 -> identical
+    f1 = tiny_bundle.encode_text(t1)
+    f2 = tiny_bundle.encode_text(t2)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+
+
+def test_gene_mlp_tower():
+    bundle = create_model(
+        "ViT-Test", precision="fp32",
+        gene_cfg={"num_genes": 64, "width": 32, "layers": 1},
+    )
+    images = np.zeros((2, 32, 32, 3), dtype=np.float32)
+    genes = np.random.default_rng(0).uniform(0, 1, (2, 64)).astype(np.float32)
+    out = bundle(images=images, text=genes)
+    assert out["text_features"].shape == (2, 32)
+
+
+def test_bf16_forward_close_to_fp32():
+    b32 = create_model("ViT-Test", precision="fp32", seed=3)
+    b16 = create_model("ViT-Test", precision="bf16", seed=3)
+    images = np.random.default_rng(2).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    f32 = np.asarray(b32.encode_image(images))
+    f16 = np.asarray(b16.encode_image(images))
+    # cosine similarity of unit vectors should be ~1
+    cos = (f32 * f16).sum(-1)
+    assert np.all(cos > 0.99)
+
+
+def test_tokenizers():
+    tok = HashTokenizer(vocab_size=512, context_length=16)
+    ids = tok(["GENE1 GENE2 GENE3", "B2M ACTB"])
+    assert ids.shape == (2, 16)
+    assert ids[0, 0] == tok.SOT
+    # deterministic
+    np.testing.assert_array_equal(ids, tok(["GENE1 GENE2 GENE3", "B2M ACTB"]))
+
+    gt = GeneTokenizer(["ACTB", "B2M", "GAPDH"], context_length=8)
+    ids = gt(["ACTB GAPDH", "UNKNOWN B2M"])
+    assert ids[0, 1] == 4  # ACTB -> first gene id
+    assert ids[0, 2] == 6  # GAPDH
+    assert ids[1, 1] == GeneTokenizer.UNK
+    assert gt.vocab_size % 128 == 0
+
+
+def test_get_tokenizer_fallback():
+    tok = get_tokenizer("ViT-Test")
+    assert tok(["hello world"]).shape == (1, 16)
+
+
+def test_transforms_and_normalize():
+    from PIL import Image
+
+    _, train_t, val_t = create_model_and_transforms("ViT-Test", precision="fp32")
+    img = Image.new("RGB", (50, 40), color=(128, 64, 32))
+    a = train_t(img)
+    b = val_t(img)
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    assert b.shape == (32, 32, 3)
+    normed = normalize_batch(jnp.asarray(b[None]))
+    assert normed.shape == (1, 32, 32, 3)
+    assert abs(float(normed.mean())) < 3.0
+
+
+def test_torch_converter_roundtrip(tiny_bundle):
+    """jax -> torch state dict -> jax must be the identity."""
+    sd = jax_to_torch_state_dict(tiny_bundle.params)
+    assert "visual.conv1.weight" in sd
+    assert sd["visual.conv1.weight"].shape[1] == 3  # OIHW
+    assert "transformer.resblocks.0.attn.in_proj_weight" in sd
+    back = torch_to_jax_params(sd)
+    flat_orig = jax.tree.leaves(tiny_bundle.params)
+    flat_back = jax.tree.leaves(back)
+    assert len(flat_orig) == len(flat_back)
+    for a, b in zip(flat_orig, flat_back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_jit_forward_compiles(tiny_bundle):
+    model, params = tiny_bundle.model, tiny_bundle.params
+
+    @jax.jit
+    def fwd(params, images, text):
+        return model.apply({"params": params}, images, text)
+
+    images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    text = jnp.ones((2, 16), jnp.int32)
+    out = fwd(params, images, text)
+    assert out["image_features"].shape == (2, 32)
