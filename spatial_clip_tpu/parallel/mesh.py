@@ -1,0 +1,97 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's process-group init ceremony
+(ref: src/open_clip_train/distributed.py:116-195 — env sniffing, backend
+tables, NCCL/gloo selection) with the JAX single-controller model: build a
+``Mesh``, annotate shardings, let XLA place collectives on ICI (and DCN for a
+second axis on multi-slice deployments).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host init (replaces distributed.py's whole env dance).
+
+    ``jax.distributed.initialize()`` auto-discovers the coordinator on TPU
+    pods; no-op on single host.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
+def make_mesh(
+    axes: Sequence[str] = (DATA_AXIS,),
+    axis_sizes: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh over all (or given) devices.
+
+    Default is a 1-D data-parallel mesh — the reference's only parallelism
+    strategy is DDP (SURVEY.md §2.7), and contrastive training is
+    batch-parallel by nature. A second ``model`` axis is supported for
+    tensor-sharding larger towers.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = [len(devs)] + [1] * (len(axes) - 1)
+    arr = np.asarray(devs).reshape(tuple(axis_sizes))
+    return Mesh(arr, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS) -> Dict[str, Any]:
+    """Device-put a host batch with the leading dim sharded over ``axis``.
+
+    The analogue of DistributedSampler+DDP scatter (ref: main.py:416): each
+    host feeds its local slice; single-host, GSPMD splits it.
+    """
+    sh = batch_sharding(mesh, axis)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh, axis: str = DATA_AXIS) -> int:
+    n = mesh.shape[axis]
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {axis} axis size {n}"
+        )
+    return global_batch_size // n
+
+
+def process_shard_indices(n: int) -> Tuple[int, int]:
+    """Contiguous [start, stop) range of dataset indices owned by this host
+    (plays the role of webdataset split_by_node, ref: data.py:328-443)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    per = n // pc
+    start = pi * per
+    stop = start + per if pi < pc - 1 else n
+    return start, stop

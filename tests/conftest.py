@@ -6,13 +6,19 @@ correctness is validated on host-platform virtual devices, per SURVEY.md §4.
 """
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU unless the caller explicitly opts into on-TPU testing with
+# SPATIAL_CLIP_TEST_TPU=1. The environment may pre-import jax (sitecustomize),
+# so set both the env vars and the live config before any backend initializes.
+if not os.environ.get("SPATIAL_CLIP_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
