@@ -1,0 +1,106 @@
+"""Headline benchmark: HEST tile-spot pairs/sec/chip.
+
+Runs the FULL jitted training step (on-device uint8 normalize + augment,
+ViT-B-32 image tower + text tower in bf16, spatial multi-positive loss,
+AdamW update, logit-scale clamp) on synthetic device-resident batches, i.e.
+the steady-state compute throughput of one chip. Prints ONE JSON line.
+
+Baseline: the north star is >=3x an A100 running open_clip ViT-B/32
+(~930 pairs/sec/A100 measured by the open_clip community for amp+bs>=256);
+vs_baseline is measured_pairs_per_sec_per_chip / (3 * 930).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+A100_OPEN_CLIP_PAIRS_PER_SEC = 930.0
+TARGET = 3.0 * A100_OPEN_CLIP_PAIRS_PER_SEC
+
+
+def main():
+    import jax
+
+    from spatial_clip_tpu import create_model
+    from spatial_clip_tpu.losses import make_loss
+    from spatial_clip_tpu.parallel.mesh import make_mesh
+    from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B-32")
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    k = 6  # neighbor graph degree (ref: configs k_neighbors=6)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    bundle = create_model(model_name, precision="bf16", seed=0)
+    cfg = TrainerConfig(
+        warmup_steps=10,
+        total_steps=10_000,
+        augment=True,
+        color_jitter=0.2,
+        log_every=10_000,
+        seed=0,
+    )
+    trainer = Trainer(
+        bundle,
+        loss=make_loss("spatial", cap_logit_scale=50.0),
+        config=cfg,
+        mesh=mesh,
+    )
+    step = trainer.make_train_step()
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    B = batch * n_dev
+    ctx = bundle.cfg.text_cfg.context_length
+    vocab = bundle.cfg.text_cfg.vocab_size
+    size = bundle.cfg.vision_cfg.image_size
+    tile_ids = np.arange(B, dtype=np.int32)
+    host_batch = {
+        "images": rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8),
+        "texts": rng.integers(0, vocab, (B, ctx), dtype=np.int32),
+        "image_tile_ids": tile_ids,
+        "text_tile_ids": tile_ids,
+        "neighbor_tile_ids": rng.integers(-1, B, (B, k)).astype(np.int32),
+        "neighbor_alphas": rng.uniform(0, 1, (B, k)).astype(np.float32),
+    }
+    dbatch = trainer._device_batch(host_batch)
+
+    for _ in range(warmup):
+        state, metrics = step(state, dbatch)
+    jax.block_until_ready(state.params["logit_scale"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, dbatch)
+    jax.block_until_ready(state.params["logit_scale"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = B * steps / dt
+    per_chip = pairs_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "HEST tile-spot pairs/sec/chip (ViT-B-32 spatial train step)",
+                "value": round(per_chip, 2),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(per_chip / TARGET, 4),
+                "detail": {
+                    "model": model_name,
+                    "global_batch": B,
+                    "n_chips": n_dev,
+                    "step_ms": round(1000 * dt / steps, 2),
+                    "loss": float(metrics["loss"]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

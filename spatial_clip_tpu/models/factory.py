@@ -120,7 +120,10 @@ def init_params(model: CLIP, cfg: CLIPCfg, seed: int = 0):
     else:
         text = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
     variables = model.init(jax.random.PRNGKey(seed), images, text)
-    return variables["params"]
+    # keep bundle params host-side (numpy): device placement is the trainer's
+    # job, and jitted steps donate their state buffers — a host copy can never
+    # be invalidated by donation.
+    return jax.tree.map(np.asarray, variables["params"])
 
 
 def create_model(

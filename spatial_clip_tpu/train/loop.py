@@ -1,0 +1,380 @@
+"""Jitted training/eval loop (the L5 orchestration layer).
+
+Replaces both reference stacks — Lightning ``SpatialClipLitModule``
+(ref: src/models/spatial_clip_module.py) and the hand-written
+``open_clip_train/train.py`` epoch loop — with one GSPMD design:
+
+- the WHOLE train step (on-device normalize/augment -> two towers -> loss ->
+  grads -> AdamW update -> logit-scale clamp -> metrics) is a single jitted
+  function; params are replicated over the data axis, batches are sharded,
+  and XLA inserts the loss's feature all-gathers as ICI collectives.
+- gradient accumulation is a ``lax.scan`` over microbatches inside the same
+  jit (ref: train.py:144-193's feature-caching accum path).
+- metric states are sum-reducible pytrees carried on device.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import time
+from dataclasses import dataclass, field as dfield
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spatial_clip_tpu.losses import LossFn, make_loss
+from spatial_clip_tpu.models.factory import ModelBundle
+from spatial_clip_tpu.models.transforms import augment_batch, normalize_batch
+from spatial_clip_tpu.parallel.mesh import make_mesh
+from spatial_clip_tpu.train.checkpoints import CheckpointManager
+from spatial_clip_tpu.train.metrics import (
+    ContrastiveMetrics,
+    clip_retrieval_metrics,
+    recall_at_k,
+)
+from spatial_clip_tpu.train.optim import make_optimizer
+
+log = logging.getLogger(__name__)
+
+LOGIT_SCALE_MAX = math.log(100.0)  # ref: open_clip_train/train.py:219-220
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclass
+class TrainerConfig:
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.2
+    betas: Tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-6
+    grad_clip_norm: Optional[float] = 1.0
+    schedule: str = "cosine"
+    warmup_steps: int = 500
+    total_steps: int = 10_000
+    grad_accum: int = 1
+    augment: bool = True
+    horizontal_flip_prob: float = 0.5
+    color_jitter: Optional[float] = None
+    seed: int = 42
+    log_every: int = 10
+    ckpt_dir: Optional[str] = None
+    save_every_steps: Optional[int] = None
+    keep_ckpts: int = 3
+    max_logit_scale: float = LOGIT_SCALE_MAX
+    extra: Dict[str, Any] = dfield(default_factory=dict)
+
+
+def _prepare_images(images, mean, std, dtype, augment_cfg, rng):
+    """uint8 host tiles -> normalized model input, fused on device."""
+    if images.dtype == jnp.uint8:
+        if augment_cfg is not None:
+            images = augment_batch(
+                rng,
+                images,
+                horizontal_flip_prob=augment_cfg["flip"],
+                color_jitter=augment_cfg["jitter"],
+            )
+        return normalize_batch(images, mean, std, dtype)
+    return images.astype(dtype)
+
+
+class Trainer:
+    """End-to-end trainer over a device mesh.
+
+    The datamodule yields numpy batches with the reference collate schema
+    (ref: spatial_datamodule.py:111-137): ``images`` (B,H,W,3) uint8,
+    ``texts`` (B,L) int32 (or gene vectors), ``image_tile_ids``,
+    ``text_tile_ids``, ``neighbor_tile_ids`` (B,k), ``neighbor_alphas`` (B,k),
+    optional ``raw_text``.
+    """
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        loss: Optional[LossFn] = None,
+        config: Optional[TrainerConfig] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.bundle = bundle
+        self.loss = loss or make_loss("clip")
+        self.cfg = config or TrainerConfig()
+        self.mesh = mesh or make_mesh()
+        self.tx, self.schedule = make_optimizer(
+            bundle.params,
+            learning_rate=self.cfg.learning_rate,
+            weight_decay=self.cfg.weight_decay,
+            betas=self.cfg.betas,
+            eps=self.cfg.eps,
+            grad_clip_norm=self.cfg.grad_clip_norm,
+            schedule_name=self.cfg.schedule,
+            warmup_steps=self.cfg.warmup_steps,
+            total_steps=self.cfg.total_steps,
+        )
+        self.metrics = ContrastiveMetrics()
+        self.ckpt = (
+            CheckpointManager(self.cfg.ckpt_dir, keep=self.cfg.keep_ckpts)
+            if self.cfg.ckpt_dir
+            else None
+        )
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P("data"))
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self) -> TrainState:
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self.bundle.params,
+            opt_state=self.tx.init(self.bundle.params),
+            rng=jax.random.PRNGKey(self.cfg.seed),
+        )
+        return jax.device_put(state, self._repl)
+
+    # ------------------------------------------------------------- train step
+    def _loss_and_metrics(self, params, batch, rng, deterministic=False):
+        cfg = self.cfg
+        aug = (
+            {"flip": cfg.horizontal_flip_prob, "jitter": cfg.color_jitter}
+            if (cfg.augment and not deterministic)
+            else None
+        )
+        rng_aug, rng_drop = jax.random.split(rng)
+        images = _prepare_images(
+            batch["images"],
+            self.bundle.preprocess_cfg.mean,
+            self.bundle.preprocess_cfg.std,
+            self.bundle.model.dtype,
+            aug,
+            rng_aug,
+        )
+        features = self.bundle.model.apply(
+            {"params": params},
+            images,
+            batch["texts"],
+            deterministic,
+            rngs=None if deterministic else {"dropout": rng_drop},
+        )
+        loss_out = self.loss(**{**batch, **features})
+        loss = loss_out["contrastive_loss"]
+        # in-batch logits for R@k (ref: spatial_clip_module.py:68-70)
+        logits = (
+            features["image_features"] @ features["text_features"].T
+        ) * features["logit_scale"]
+        return loss, (features, logits)
+
+    def make_train_step(self) -> Callable:
+        cfg = self.cfg
+        accum = max(1, cfg.grad_accum)
+
+        def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            # split (not pass through) so the donated rng buffer is never
+            # returned unchanged from the jitted step
+            rng, next_rng = jax.random.split(state.rng)
+
+            def compute(params, mb, r):
+                return self._loss_and_metrics(params, mb, r, deterministic=False)
+
+            if accum == 1:
+                (loss, (_, logits)), grads = jax.value_and_grad(
+                    compute, has_aux=True
+                )(state.params, batch, rng)
+            else:
+                # microbatch scan: grads averaged; contrastive batch = microbatch
+                def split(x):
+                    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+                mbs = jax.tree.map(split, batch)
+
+                def body(carry, xs):
+                    g_acc, l_acc = carry
+                    mb, i = xs
+                    r = jax.random.fold_in(rng, i)
+                    (l, (_f, _lg)), g = jax.value_and_grad(compute, has_aux=True)(
+                        state.params, mb, r
+                    )
+                    return (
+                        jax.tree.map(jnp.add, g_acc, g),
+                        l_acc + l,
+                    ), _lg
+
+                zero = jax.tree.map(jnp.zeros_like, state.params)
+                (g_sum, l_sum), logits_all = jax.lax.scan(
+                    body, (zero, 0.0), (mbs, jnp.arange(accum))
+                )
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                loss = l_sum / accum
+                logits = logits_all[-1]
+
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            # clamp logit scale to [0, ln 100] (ref: train.py:219-220)
+            params = dict(params)
+            params["logit_scale"] = jnp.clip(
+                params["logit_scale"], 0.0, cfg.max_logit_scale
+            )
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=new_opt, rng=next_rng
+            )
+            targets = jnp.arange(logits.shape[0], dtype=jnp.int32)
+            step_metrics = {
+                "loss": loss,
+                "logit_scale": jnp.exp(params["logit_scale"]),
+                "grad_norm": optax.global_norm(grads),
+                "lr": self.schedule(state.step),
+            }
+            for k in (1, 5, 10):
+                step_metrics[f"R@{k}"] = recall_at_k(logits, targets, k)
+            return new_state, step_metrics
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(self._repl, self._batch_sh),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,),
+        )
+
+    def make_eval_step(self) -> Callable:
+        def eval_fn(state: TrainState, batch):
+            loss, (features, logits) = self._loss_and_metrics(
+                state.params, batch, jax.random.PRNGKey(0), deterministic=True
+            )
+            return {
+                "loss": loss,
+                "logits": logits,
+                "image_features": features["image_features"],
+                "text_features": features["text_features"],
+            }
+
+        return jax.jit(
+            eval_fn, in_shardings=(self._repl, self._batch_sh)
+        )
+
+    # ------------------------------------------------------------------- fit
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        arrs = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray) and k != "raw_text"
+        }
+        return jax.device_put(arrs, self._batch_sh)
+
+    def fit(
+        self,
+        train_iter_factory: Callable[[], Iterable[Dict[str, Any]]],
+        val_iter_factory: Optional[Callable[[], Iterable[Dict[str, Any]]]] = None,
+        epochs: int = 1,
+        steps_per_epoch: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        logger=None,
+        resume: Optional[str] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        state = state if state is not None else self.init_state()
+        if resume and self.ckpt:
+            try:
+                host = jax.tree.map(np.asarray, state)
+                restored, step = self.ckpt.restore(
+                    host, None if resume == "latest" else int(resume)
+                )
+                state = jax.device_put(restored, self._repl)
+                log.info("Resumed from step %d", step)
+            except FileNotFoundError:
+                log.info("No checkpoint found; starting fresh")
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        n_dev = self.mesh.devices.size
+        last: Dict[str, float] = {}
+        for epoch in range(epochs):
+            t_data = t_step = 0.0
+            n_samples = 0
+            t0 = time.perf_counter()
+            for i, batch in enumerate(train_iter_factory()):
+                if steps_per_epoch is not None and i >= steps_per_epoch:
+                    break
+                bsz = len(batch["images"])
+                dbatch = self._device_batch(batch)
+                t1 = time.perf_counter()
+                state, metrics = self._train_step(state, dbatch)
+                step_no = int(state.step)
+                if step_no % self.cfg.log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    jax.block_until_ready(state.params["logit_scale"])
+                    t2 = time.perf_counter()
+                    t_data += t1 - t0
+                    t_step += t2 - t1
+                    n_samples += bsz
+                    pairs_per_sec = n_samples / max(t_data + t_step, 1e-9)
+                    metrics.update(
+                        {
+                            "epoch": epoch,
+                            "pairs_per_sec": pairs_per_sec,
+                            "pairs_per_sec_per_chip": pairs_per_sec / n_dev,
+                        }
+                    )
+                    last = metrics
+                    if logger:
+                        logger.log(step_no, {f"train/{k}": v for k, v in metrics.items()})
+                    t_data = t_step = 0.0
+                    n_samples = 0
+                else:
+                    t_data += t1 - t0
+                    n_samples += bsz
+                if (
+                    self.ckpt
+                    and self.cfg.save_every_steps
+                    and step_no % self.cfg.save_every_steps == 0
+                ):
+                    self.ckpt.save(jax.tree.map(np.asarray, state), step_no)
+                t0 = time.perf_counter()
+            if val_iter_factory is not None:
+                val_metrics = self.evaluate(state, val_iter_factory())
+                last.update({f"val/{k}": v for k, v in val_metrics.items()})
+                if logger:
+                    logger.log(int(state.step), {f"val/{k}": v for k, v in val_metrics.items()})
+            if self.ckpt:
+                self.ckpt.save(jax.tree.map(np.asarray, state), int(state.step), last)
+        return state, last
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(
+        self, state: TrainState, val_iter: Iterable[Dict[str, Any]]
+    ) -> Dict[str, float]:
+        """Full-split retrieval eval (ref: open_clip_train/train.py:278-380):
+        accumulates features over the whole split then computes bidirectional
+        rank metrics + mean val loss + in-batch R@k."""
+        if self._eval_step is None:
+            self._eval_step = self.make_eval_step()
+        losses, img_feats, txt_feats = [], [], []
+        mstate = self.metrics.init()
+        n_batches = 0
+        for batch in val_iter:
+            dbatch = self._device_batch(batch)
+            out = self._eval_step(state, dbatch)
+            losses.append(float(out["loss"]))
+            img_feats.append(np.asarray(out["image_features"]))
+            txt_feats.append(np.asarray(out["text_features"]))
+            logits = out["logits"]
+            mstate = self.metrics.update(
+                mstate, logits, jnp.arange(logits.shape[0], dtype=jnp.int32)
+            )
+            n_batches += 1
+        if not n_batches:
+            log.warning("evaluation split produced zero batches (split smaller than batch size?)")
+            return {}
+        result = {"loss": float(np.mean(losses))}
+        result.update(self.metrics.compute(mstate))
+        img = np.concatenate(img_feats)
+        txt = np.concatenate(txt_feats)
+        result.update(clip_retrieval_metrics(img, txt))
+        result["num_samples"] = float(len(img))
+        return result

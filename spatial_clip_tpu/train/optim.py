@@ -1,0 +1,120 @@
+"""Optimizers & LR schedules (optax).
+
+Ref: open_clip_train/main.py:338-366 (AdamW with gain/bias no-decay split)
+and open_clip_train/scheduler.py (cosine / const / const-cooldown closures) —
+re-expressed as optax schedules + a masked AdamW.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def decay_mask(params) -> Any:
+    """True for params that receive weight decay.
+
+    The reference excludes biases, norm gains, and ``logit_scale`` by the
+    ``ndim < 2`` rule (main.py:342-349); we apply the same shape rule.
+    """
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def cosine_lr(base_lr: float, warmup_steps: int, total_steps: int, end_lr: float = 0.0):
+    """Linear warmup then cosine decay (ref: scheduler.py cosine_lr)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=base_lr,
+        warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=end_lr,
+    )
+
+
+def const_lr(base_lr: float, warmup_steps: int = 0, **_):
+    if warmup_steps <= 0:
+        return optax.constant_schedule(base_lr)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base_lr, warmup_steps),
+         optax.constant_schedule(base_lr)],
+        [warmup_steps],
+    )
+
+
+def const_lr_cooldown(
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    cooldown_steps: int,
+    cooldown_power: float = 1.0,
+    cooldown_end_lr: float = 0.0,
+):
+    """Constant LR with a polynomial cooldown tail (ref: scheduler.py)."""
+    start_cd = total_steps - cooldown_steps
+
+    def cooldown(step):
+        frac = jnp.clip(step / max(cooldown_steps, 1), 0.0, 1.0)
+        decay = (1.0 - frac) ** cooldown_power
+        return cooldown_end_lr + decay * (base_lr - cooldown_end_lr)
+
+    return optax.join_schedules(
+        [const_lr(base_lr, warmup_steps), cooldown], [start_cd]
+    )
+
+
+def make_schedule(
+    name: str,
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    **kwargs,
+):
+    name = (name or "cosine").lower()
+    if name in ("cosine", "cosine_lr"):
+        return cosine_lr(base_lr, warmup_steps, total_steps)
+    if name in ("const", "constant"):
+        return const_lr(base_lr, warmup_steps)
+    if name in ("const-cooldown", "const_cooldown"):
+        return const_lr_cooldown(
+            base_lr, warmup_steps, total_steps,
+            kwargs.get("cooldown_steps", max(total_steps // 10, 1)),
+            kwargs.get("cooldown_power", 1.0),
+            kwargs.get("cooldown_end_lr", 0.0),
+        )
+    raise ValueError(f"unknown schedule: {name}")
+
+
+def make_optimizer(
+    params,
+    learning_rate: float = 5e-4,
+    weight_decay: float = 0.2,
+    betas: Tuple[float, float] = (0.9, 0.98),
+    eps: float = 1e-6,
+    grad_clip_norm: Optional[float] = 1.0,
+    schedule_name: str = "cosine",
+    warmup_steps: int = 2000,
+    total_steps: int = 100_000,
+    **schedule_kwargs,
+) -> Tuple[optax.GradientTransformation, optax.Schedule]:
+    """AdamW + global-norm clipping + schedule, with the reference's
+    no-decay split (main.py:338-366; trainer grad_clip_val=1.0 per
+    configs/trainer/default.yaml)."""
+    schedule = make_schedule(
+        schedule_name, learning_rate, warmup_steps, total_steps, **schedule_kwargs
+    )
+    chain = []
+    if grad_clip_norm:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=weight_decay,
+            mask=decay_mask(params),
+        )
+    )
+    return optax.chain(*chain), schedule

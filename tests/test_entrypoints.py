@@ -1,0 +1,66 @@
+"""Entry-point smoke tests (ref pattern: tests/test_train.py:12-21 shrunken
+train(cfg) run + eval round-trip from the merged dump)."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import train as train_entry  # noqa: E402
+import eval as eval_entry  # noqa: E402
+from spatial_clip_tpu.config import compose  # noqa: E402
+
+CONFIG_DIR = Path(__file__).parent.parent / "configs"
+
+
+def _smoke_cfg(tmp_path, extra=()):
+    return compose(
+        CONFIG_DIR,
+        "train",
+        [
+            "experiment=smoke_synthetic",
+            f"paths.root_dir={tmp_path}",
+            "trainer.limit_batches=2",
+            "data.dataset_format_kwargs.num_samples=64",
+            "trainer.log_every=1",
+            *extra,
+        ],
+    )
+
+
+def test_train_smoke(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    value, objects = train_entry.train(cfg)
+    assert value is not None and np.isfinite(value)
+    assert int(objects["state"].step) == 2
+    out = Path(cfg["paths"]["output_dir"])
+    assert (out / "metrics.csv").exists()
+
+
+def test_train_ckpt_then_eval(tmp_path):
+    cfg = _smoke_cfg(tmp_path, ("save_ckpt=true", "test=false"))
+    value, objects = train_entry.train(cfg)
+    ckpt_dir = Path(cfg["paths"]["output_dir"]) / "checkpoints"
+    assert any(ckpt_dir.glob("step_*"))
+
+    eval_cfg = compose(
+        CONFIG_DIR,
+        "eval",
+        [
+            "experiment=smoke_synthetic",
+            f"paths.root_dir={tmp_path}",
+            f"ckpt_path={ckpt_dir}",
+            "data.dataset_format_kwargs.num_samples=64",
+        ],
+    )
+    metrics = eval_entry.evaluate(eval_cfg)
+    assert np.isfinite(metrics["test/loss"])
+    assert "test/image_to_text_R@1" in metrics
+
+
+def test_train_clip_loss_variant(tmp_path):
+    cfg = _smoke_cfg(tmp_path, ("loss=clip",))
+    value, _ = train_entry.train(cfg)
+    assert np.isfinite(value)

@@ -1,0 +1,100 @@
+"""End-to-end training smoke tests on the virtual 8-device mesh
+(the JAX analogue of the reference's fast_dev_run + ddp_sim tests,
+ref: tests/test_train.py:12-21,65-77)."""
+import numpy as np
+import pytest
+
+from spatial_clip_tpu import create_model
+from spatial_clip_tpu.data.datamodule import DataLoader
+from spatial_clip_tpu.data.datasets import SyntheticSpatialDataset
+from spatial_clip_tpu.losses import make_loss
+from spatial_clip_tpu.models.tokenizer import HashTokenizer
+from spatial_clip_tpu.parallel.mesh import make_mesh
+from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+
+def _make_data(n=32, image_size=32, batch=8, k=4):
+    tok = HashTokenizer(vocab_size=512, context_length=16)
+    ds = SyntheticSpatialDataset(
+        num_samples=n, image_size=image_size, k_neighbors=k,
+        sentence_len=8, tokenizer=tok,
+    )
+    return lambda: DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True)
+
+
+@pytest.fixture(scope="module")
+def trainer(tiny_bundle):
+    cfg = TrainerConfig(
+        learning_rate=1e-3,
+        warmup_steps=2,
+        total_steps=50,
+        log_every=1,
+        augment=True,
+        seed=0,
+    )
+    return Trainer(
+        tiny_bundle,
+        loss=make_loss("spatial", temp_reg_weight=0.1, cap_logit_scale=50.0),
+        config=cfg,
+        mesh=make_mesh(),
+    )
+
+
+def test_fit_one_epoch_spatial_loss(trainer):
+    factory = _make_data()
+    state, metrics = trainer.fit(factory, factory, epochs=1, steps_per_epoch=3)
+    assert int(state.step) == 3
+    assert np.isfinite(metrics["loss"])
+    assert 0 <= metrics["R@1"] <= 1
+    assert "val/image_to_text_R@1" in metrics
+    assert np.isfinite(metrics["val/loss"])
+    assert metrics["pairs_per_sec_per_chip"] > 0
+
+
+def test_loss_decreases_on_overfit(tiny_bundle):
+    """Overfit a tiny fixed batch — loss must drop (sanity of grads+optim)."""
+    cfg = TrainerConfig(
+        learning_rate=3e-3, warmup_steps=1, total_steps=40,
+        augment=False, log_every=100,
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    factory = _make_data(n=8, batch=8)
+    step = tr.make_train_step()
+    state = tr.init_state()
+    batch = next(iter(factory()))
+    dbatch = tr._device_batch(batch)
+    first = None
+    for i in range(25):
+        state, m = step(state, dbatch)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.7
+
+
+def test_grad_accum_runs(tiny_bundle):
+    cfg = TrainerConfig(
+        grad_accum=2, warmup_steps=1, total_steps=10, augment=False, log_every=1
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    factory = _make_data(n=16, batch=16)
+    state, metrics = tr.fit(factory, None, epochs=1, steps_per_epoch=1)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_bundle):
+    cfg = TrainerConfig(
+        warmup_steps=1, total_steps=10, augment=False, log_every=1,
+        ckpt_dir=str(tmp_path / "ckpts"),
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    factory = _make_data(n=16, batch=8)
+    state, _ = tr.fit(factory, None, epochs=1, steps_per_epoch=2)
+    assert tr.ckpt.latest_step() == 2
+    # resume: continues from step 2
+    state2, _ = tr.fit(factory, None, epochs=1, steps_per_epoch=2, resume="latest")
+    assert int(state2.step) == 4
+    # logit_scale stays clamped in [0, ln100]
+    import math
+
+    ls = float(state2.params["logit_scale"])
+    assert 0.0 <= ls <= math.log(100.0) + 1e-6
