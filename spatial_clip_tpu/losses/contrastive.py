@@ -166,6 +166,31 @@ def spatial_loss(
         shift = B * lax.axis_index(axis_name)
 
     ground_truth = jnp.arange(B, dtype=jnp.int32) + shift
+
+    if use_fused_kernel and temp_reg_weight == 0.0 and logit_bias is None:
+        # Pallas path: labels are built from tile ids INSIDE the kernel, so
+        # skip the dense (B, N) label matrices entirely (O(B) memory).
+        from spatial_clip_tpu.ops.fused_contrastive import fused_spatial_ce
+
+        s_eff = logit_scale
+        if cap_logit_scale is not None:
+            s_clipped = jnp.minimum(logit_scale, cap_logit_scale)
+            s_eff = logit_scale + lax.stop_gradient(s_clipped - logit_scale)
+        scaled_alphas = neighbor_alphas.astype(jnp.float32) * neighbor_alpha_scale
+        interpret = jax.default_backend() != "tpu"  # pallas TPU or interpreter
+        loss_i = fused_spatial_ce(
+            image_features, all_txt, all_txt_ids.astype(jnp.int32),
+            ground_truth, neighbor_tile_ids.astype(jnp.int32), scaled_alphas, s_eff,
+            interpret=interpret,
+        ).mean()
+        loss_t = fused_spatial_ce(
+            text_features, all_img, all_img_ids.astype(jnp.int32),
+            ground_truth, neighbor_tile_ids.astype(jnp.int32), scaled_alphas, s_eff,
+            interpret=interpret,
+        ).mean()
+        total = 0.5 * (loss_i + loss_t)
+        return {"contrastive_loss": _sum_mean_over_axis(total, axis_name)}
+
     labels_i = build_spatial_soft_labels(
         all_txt_ids, ground_truth, neighbor_tile_ids, neighbor_alphas,
         neighbor_alpha_scale,
@@ -174,19 +199,6 @@ def spatial_loss(
         all_img_ids, ground_truth, neighbor_tile_ids, neighbor_alphas,
         neighbor_alpha_scale,
     )
-
-    if use_fused_kernel and temp_reg_weight == 0.0:
-        from spatial_clip_tpu.ops.fused_contrastive import fused_soft_ce_loss
-
-        s_eff = logit_scale
-        if cap_logit_scale is not None:
-            s_clipped = jnp.minimum(logit_scale, cap_logit_scale)
-            s_eff = logit_scale + lax.stop_gradient(s_clipped - logit_scale)
-        bias = logit_bias if logit_bias is not None else jnp.zeros((), jnp.float32)
-        loss_i = fused_soft_ce_loss(image_features, all_txt, labels_i, s_eff, bias)
-        loss_t = fused_soft_ce_loss(text_features, all_img, labels_t, s_eff, bias)
-        total = 0.5 * (loss_i + loss_t)
-        return {"contrastive_loss": _sum_mean_over_axis(total, axis_name)}
 
     z_i = image_features @ all_txt.T
     z_t = text_features @ all_img.T

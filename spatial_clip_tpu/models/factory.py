@@ -119,7 +119,19 @@ def init_params(model: CLIP, cfg: CLIPCfg, seed: int = 0):
         text = jnp.zeros((1, cfg.gene_cfg.num_genes), jnp.float32)
     else:
         text = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(seed), images, text)
+    # init on the host CPU backend: avoids a large accelerator compile just
+    # for initialization (the trainer jits the real step on device later)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = jax.jit(model.init, static_argnames=())(
+                jax.random.PRNGKey(seed), images, text
+            )
+    else:
+        variables = model.init(jax.random.PRNGKey(seed), images, text)
     # keep bundle params host-side (numpy): device placement is the trainer's
     # job, and jitted steps donate their state buffers — a host copy can never
     # be invalidated by donation.
