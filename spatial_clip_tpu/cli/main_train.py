@@ -1,0 +1,235 @@
+"""Standalone argparse trainer CLI — the ``python -m open_clip_train.main``
+analogue (ref: src/open_clip_train/main.py:76-581 + params.py flag surface).
+
+    python -m spatial_clip_tpu.cli.main_train \
+        --model ViT-B-32 --dataset-type synthetic --batch-size 64 --epochs 1
+
+One JAX stack serves both reference trainers; this CLI maps the reference's
+most-used flags (incl. the spatial group, params.py:486-499, and the
+temperature group, :502-517) onto the same Trainer/datamodule used by
+train.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+log = logging.getLogger(__name__)
+
+
+def get_default_params(model_name: str) -> dict:
+    """Model-conditioned defaults (ref: params.py:5-18)."""
+    model_name = model_name.lower()
+    if "vit" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+def parse_args(args=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="spatial-clip-tpu standalone trainer")
+    # data
+    p.add_argument("--train-data", default=None, help="dataset dir / csv / shards root")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--dataset-type",
+                   choices=["auto", "parquet", "shards", "synthetic", "csv"],
+                   default="auto")
+    p.add_argument("--train-split", default="train")
+    p.add_argument("--val-split", default="val")
+    p.add_argument("--csv-img-key", default="filepath")
+    p.add_argument("--csv-caption-key", default="title")
+    p.add_argument("--csv-separator", default="\t")
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--use-spatial-dataset", action="store_true")
+    p.add_argument("--k-neighbors", type=int, default=6)
+    # model
+    p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--pretrained", default="")
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32", "amp_bf16", "pure_bf16", "float32"])
+    p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--gene-vocab", default=None)
+    p.add_argument("--bpe-path", default=None)
+    # optimization
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--beta1", type=float, default=None)
+    p.add_argument("--beta2", type=float, default=None)
+    p.add_argument("--eps", type=float, default=None)
+    p.add_argument("--wd", type=float, default=0.2)
+    p.add_argument("--warmup", type=int, default=10000)
+    p.add_argument("--lr-scheduler", default="cosine",
+                   choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--accum-freq", type=int, default=1)
+    # loss
+    p.add_argument("--use-spatial-loss", action="store_true")
+    p.add_argument("--local-loss", action="store_true")
+    p.add_argument("--gather-with-grad", action="store_true",
+                   help="accepted for parity; JAX AD always differentiates gathers")
+    p.add_argument("--siglip", action="store_true")
+    p.add_argument("--loss-dist-impl", default="shift",
+                   choices=["bidir", "shift", "reduce", "gather"])
+    p.add_argument("--cap-logit-scale", type=float, default=None)
+    p.add_argument("--temp-reg-weight", type=float, default=0.0)
+    p.add_argument("--neighbor-alpha-scale", type=float, default=1.0)
+    p.add_argument("--float32-logits", action="store_true", default=True)
+    p.add_argument("--use-fused-kernel", action="store_true",
+                   help="pallas fused contrastive kernel (TPU)")
+    # run management
+    p.add_argument("--logs", default="./logs/")
+    p.add_argument("--name", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--val-frequency", type=int, default=1)
+    p.add_argument("--report-to", default="csv,jsonl")
+    p.add_argument("--log-every-n-steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic-num-samples", type=int, default=1024)
+    p.add_argument("--synthetic-image-size", type=int, default=224)
+    ns = p.parse_args(args)
+    # model-conditioned defaults (ref: params.py:521-528)
+    defaults = get_default_params(ns.model)
+    for k, v in defaults.items():
+        if getattr(ns, k.replace("-", "_")) is None:
+            setattr(ns, k.replace("-", "_"), v)
+    return ns
+
+
+def _detect_dataset_type(args) -> str:
+    if args.dataset_type != "auto":
+        return args.dataset_type
+    if not args.train_data:
+        return "synthetic"
+    p = Path(args.train_data)
+    if p.suffix == ".csv" or p.suffix == ".tsv":
+        return "csv"
+    if (p / args.train_split / "nodes.parquet").exists() or (p / "nodes.parquet").exists():
+        return "parquet"
+    if any(p.rglob("*.tar")):
+        return "shards"
+    return "synthetic"
+
+
+def main(args=None):
+    from spatial_clip_tpu.data.datamodule import SpatialClipDataModule
+    from spatial_clip_tpu.losses import make_loss
+    from spatial_clip_tpu.models.factory import create_model_and_transforms, get_tokenizer
+    from spatial_clip_tpu.parallel.mesh import maybe_init_distributed
+    from spatial_clip_tpu.train.logging_utils import make_loggers, setup_logging
+    from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+    args = parse_args(args)
+    maybe_init_distributed()
+    name = args.name or time.strftime("%Y_%m_%d-%H_%M_%S")
+    out_dir = Path(args.logs) / name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    setup_logging(str(out_dir / "out.log"))
+
+    bundle, pp_train, pp_val = create_model_and_transforms(
+        args.model,
+        pretrained=args.pretrained or None,
+        precision=args.precision,
+        force_quick_gelu=args.force_quick_gelu,
+        remat=args.grad_checkpointing,
+        seed=args.seed,
+    )
+    tokenizer = get_tokenizer(
+        args.model, gene_vocab=args.gene_vocab, bpe_path=args.bpe_path
+    )
+
+    dtype = _detect_dataset_type(args)
+    fmt = {
+        "parquet": "parquet_v1", "shards": "shards_v1",
+        "synthetic": "synthetic", "csv": "csv",
+    }[dtype]
+    format_kwargs = {}
+    if fmt == "synthetic":
+        format_kwargs = {
+            "num_samples": args.synthetic_num_samples,
+            "image_size": args.synthetic_image_size,
+        }
+    dm = SpatialClipDataModule(
+        data_dir=args.train_data or "",
+        k_neighbors=args.k_neighbors,
+        batch_size=args.batch_size,
+        num_workers=args.workers,
+        dataset_format=fmt,
+        dataset_format_kwargs=format_kwargs,
+        splits={"train": args.train_split, "val": args.val_split},
+        seed=args.seed,
+    )
+    dm.preprocess_fn = pp_train
+    dm.preprocess_fn_val = pp_val
+    dm.tokenizer = tokenizer
+    if fmt == "csv":
+        from spatial_clip_tpu.data.datasets.csv_backend import CsvDataset
+
+        dm.data_train = CsvDataset(
+            args.train_data, pp_train, tokenizer, args.csv_img_key,
+            args.csv_caption_key, args.csv_separator, args.k_neighbors,
+        )
+        if args.val_data:
+            dm.data_val = CsvDataset(
+                args.val_data, pp_val, tokenizer, args.csv_img_key,
+                args.csv_caption_key, args.csv_separator, args.k_neighbors,
+            )
+    else:
+        dm.prepare_data()
+        dm.setup("fit")
+
+    # loss selection (ref: main.py:505-524)
+    if args.use_spatial_loss:
+        loss = make_loss(
+            "spatial",
+            cap_logit_scale=args.cap_logit_scale,
+            temp_reg_weight=args.temp_reg_weight,
+            neighbor_alpha_scale=args.neighbor_alpha_scale,
+            float32_logits=args.float32_logits,
+            use_fused_kernel=args.use_fused_kernel,
+        )
+    elif args.siglip:
+        loss = make_loss("siglip", dist_impl=args.loss_dist_impl)
+    else:
+        loss = make_loss("clip", float32_logits=args.float32_logits)
+
+    steps_per_epoch = args.steps_per_epoch or len(dm.train_dataloader())
+    total_steps = args.epochs * max(steps_per_epoch, 1)
+    cfg = TrainerConfig(
+        learning_rate=args.lr,
+        weight_decay=args.wd,
+        betas=(args.beta1, args.beta2),
+        eps=args.eps,
+        grad_clip_norm=args.grad_clip_norm,
+        schedule=args.lr_scheduler,
+        warmup_steps=min(args.warmup, max(total_steps // 10, 1)),
+        total_steps=total_steps,
+        grad_accum=args.accum_freq,
+        seed=args.seed,
+        log_every=args.log_every_n_steps,
+        ckpt_dir=str(out_dir / "checkpoints"),
+        keep_ckpts=3,
+    )
+    trainer = Trainer(bundle, loss=loss, config=cfg)
+    loggers = make_loggers(args.report_to, str(out_dir))
+    state, metrics = trainer.fit(
+        lambda: dm.train_dataloader(),
+        (lambda: dm.val_dataloader()) if dm.data_val is not None else None,
+        epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        logger=loggers,
+        resume=args.resume,
+    )
+    (out_dir / "results.json").write_text(json.dumps(metrics, indent=2, default=float))
+    log.info("done: %s", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

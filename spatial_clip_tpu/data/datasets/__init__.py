@@ -73,6 +73,14 @@ def create_spatial_dataset(
             tokenizer=tokenizer,
             **kwargs,
         )
+    if fmt == "csv":
+        from spatial_clip_tpu.data.datasets.csv_backend import CsvDataset
+
+        path = data_dir if data_dir.suffix in (".csv", ".tsv") else data_dir / f"{split_spec}.csv"
+        return CsvDataset(
+            path, preprocess_fn=preprocess_fn, tokenizer=tokenizer,
+            k_neighbors=k_neighbors, **kwargs,
+        )
     if fmt == "synthetic":
         kwargs.setdefault("num_samples", 256)
         if split_name == "val":
