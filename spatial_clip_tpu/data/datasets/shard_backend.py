@@ -35,7 +35,15 @@ log = logging.getLogger(__name__)
 
 
 def _index_tar(tar_path: Path):
-    """name -> (offset_data, size) for every regular member."""
+    """name -> (offset_data, size) for every regular member.
+
+    Uses the C++ indexer (native/tarindex.cpp) when built — ~20x faster
+    startup on large shard sets — falling back to Python tarfile."""
+    from spatial_clip_tpu.data.datasets._native import index_tar_native
+
+    native = index_tar_native(str(tar_path))
+    if native is not None:
+        return native
     out = {}
     with tarfile.open(tar_path) as tf:
         for m in tf:

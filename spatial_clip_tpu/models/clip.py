@@ -65,6 +65,7 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             act=act,
             remat=self.remat,
+            attn_impl=self.cfg.attn_impl,
         )
         if self.cfg.gene_cfg is not None:
             g = self.cfg.gene_cfg
@@ -97,6 +98,7 @@ class CLIP(nn.Module):
                 dtype=self.dtype,
                 act=act,
                 remat=self.remat,
+                attn_impl=self.cfg.attn_impl,
             )
         self.logit_scale = self.param(
             "logit_scale",

@@ -100,6 +100,7 @@ class CLIPCfg:
     vision_cfg: VisionCfg = field(default_factory=VisionCfg)
     text_cfg: TextCfg = field(default_factory=TextCfg)
     gene_cfg: Optional[GeneCfg] = None  # if set, replaces the text tower
+    attn_impl: str = "xla"  # 'xla' fused dot_product_attention | 'einsum'
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
     quick_gelu: bool = False

@@ -65,15 +65,19 @@ class MLP(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Fused-QKV multi-head attention with fp32 softmax.
+    """Fused-QKV multi-head attention.
 
     Mirrors the semantics of ref transformer.py:92-213 (incl. optional
-    additive attention mask) but lets XLA schedule the matmuls on the MXU.
+    additive attention mask). ``impl='xla'`` (default) routes through
+    ``jax.nn.dot_product_attention`` so XLA emits its fused attention
+    (one pass, no materialized (B,H,L,L) probs in HBM); ``impl='einsum'``
+    is the explicit fp32-softmax formulation.
     """
 
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -90,12 +94,21 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(B, L, self.heads, head_dim)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
-        scale = head_dim ** -0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
-        if attn_mask is not None:
-            attn = attn + attn_mask.astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
+        if self.impl == "xla":
+            bias = None
+            if attn_mask is not None:
+                bias = jnp.broadcast_to(
+                    attn_mask.astype(q.dtype), (1, self.heads, L, L)
+                )
+            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+            out = out.reshape(B, L, self.width)
+        else:
+            scale = head_dim ** -0.5
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+            if attn_mask is not None:
+                attn = attn + attn_mask.astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
         return nn.Dense(
             self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
         )(out)
@@ -112,6 +125,7 @@ class ResidualBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -128,7 +142,8 @@ class ResidualBlock(nn.Module):
 
         h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1")(x)
         h = MultiHeadAttention(
-            width=self.width, heads=self.heads, dtype=self.dtype, name="attn"
+            width=self.width, heads=self.heads, dtype=self.dtype,
+            impl=self.attn_impl, name="attn",
         )(h, attn_mask)
         x = x + scaled(h, "ls_1")
         h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_2")(x)
@@ -155,6 +170,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -172,6 +188,7 @@ class Transformer(nn.Module):
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 act=self.act,
+                attn_impl=self.attn_impl,
                 name=f"resblocks_{i}",
             )(x, attn_mask)
         return x
@@ -288,6 +305,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
+    attn_impl: str = "xla"
 
     def _pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.pool_type == "avg":
@@ -351,6 +369,7 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             act=self.act,
             remat=self.remat,
+            attn_impl=self.attn_impl,
             name="transformer",
         )(x)
 
@@ -421,6 +440,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
@@ -462,6 +482,7 @@ class TextTransformer(nn.Module):
             dtype=self.dtype,
             act=self.act,
             remat=self.remat,
+            attn_impl=self.attn_impl,
             name="transformer",
         )(x, attn_mask)
 

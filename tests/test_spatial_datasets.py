@@ -208,3 +208,19 @@ def test_threaded_loader_matches_sync(tmp_path):
     for a, b in zip(sync, threaded):
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["image_tile_ids"], b["image_tile_ids"])
+
+
+def test_native_tar_indexer_matches_tarfile(tmp_path):
+    """C++ indexer (native/tarindex.cpp) must agree with Python tarfile."""
+    import tarfile as tf_mod
+
+    from spatial_clip_tpu.data.datasets._native import get_lib, index_tar_native
+
+    if get_lib() is None:
+        pytest.skip("native library not built")
+    dataset_root = _make_shard_dataset(tmp_path)
+    tar_path = next(dataset_root.rglob("*.tar"))
+    native = index_tar_native(str(tar_path))
+    with tf_mod.open(tar_path) as tf:
+        expected = {m.name: (m.offset_data, m.size) for m in tf if m.isfile()}
+    assert native == expected
