@@ -73,14 +73,16 @@ def main():
     }
     dbatch = trainer._device_batch(host_batch)
 
+    # NOTE: block on a FRESH output buffer (metrics['loss']); donated-state
+    # buffers can report ready before execution completes on some runtimes.
     for _ in range(warmup):
         state, metrics = step(state, dbatch)
-    jax.block_until_ready(state.params["logit_scale"])
+    jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, dbatch)
-    jax.block_until_ready(state.params["logit_scale"])
+    jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = B * steps / dt

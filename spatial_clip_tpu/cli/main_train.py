@@ -52,6 +52,9 @@ def parse_args(args=None) -> argparse.Namespace:
                    choices=["bf16", "fp32", "amp_bf16", "pure_bf16", "float32"])
     p.add_argument("--force-quick-gelu", action="store_true")
     p.add_argument("--grad-checkpointing", action="store_true")
+    p.add_argument("--lock-image-tower", action="store_true",
+                   help="LiT-style frozen image tower (ref: main.py:276-287)")
+    p.add_argument("--lock-text-tower", action="store_true")
     p.add_argument("--gene-vocab", default=None)
     p.add_argument("--bpe-path", default=None)
     # optimization
@@ -215,6 +218,10 @@ def main(args=None):
         log_every=args.log_every_n_steps,
         ckpt_dir=str(out_dir / "checkpoints"),
         keep_ckpts=3,
+        frozen_prefixes=tuple(
+            (["visual"] if args.lock_image_tower else [])
+            + (["text"] if args.lock_text_tower else [])
+        ),
     )
     trainer = Trainer(bundle, loss=loss, config=cfg)
     loggers = make_loggers(args.report_to, str(out_dir))

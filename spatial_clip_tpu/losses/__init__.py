@@ -74,6 +74,35 @@ def make_loss(kind: str = "clip", **options) -> LossFn:
             use_fused_kernel=bool(options.get("use_fused_kernel", False)),
         )
         return LossFn("spatial", fn, _SPATIAL_ARGS, options)
+    if kind == "coca":
+        from spatial_clip_tpu.models.coca import coca_caption_loss
+
+        cap_w = float(options.get("caption_loss_weight", 2.0))
+        con_w = float(options.get("contrastive_loss_weight", 1.0))
+        pad_id = int(options.get("pad_id", 0))
+
+        def coca_fn(
+            image_features, text_features, logit_scale,
+            caption_logits, caption_labels, logit_bias=None, axis_name=None,
+        ):
+            con = clip_loss(
+                image_features, text_features, logit_scale,
+                logit_bias=logit_bias, axis_name=axis_name,
+            )["contrastive_loss"]
+            cap = coca_caption_loss(caption_logits, caption_labels, pad_id=pad_id)
+            if axis_name is not None:
+                import jax.lax as lax
+
+                cap = lax.pmean(cap, axis_name)
+            return {
+                "contrastive_loss": con_w * con + cap_w * cap,
+                "caption_loss": cap,
+            }
+
+        return LossFn(
+            "coca", coca_fn, _BASE_ARGS | {"caption_logits", "caption_labels"},
+            options,
+        )
     if kind in ("siglip", "sigmoid"):
         fn = functools.partial(
             siglip_loss, dist_impl=options.get("dist_impl", "shift")

@@ -1,0 +1,267 @@
+"""CoCa: contrastive + captioning two-tower model.
+
+Re-design of the reference CoCa (ref: src/open_clip/coca_model.py:89-582,
+multimodal decoder ref: src/open_clip/transformer.py:1250-1455
+``MultimodalTransformer``): a ViT image tower with attentional pooling
+(one contrastive query + N caption queries), a cls-pooled text tower, and a
+causal multimodal decoder whose cross-attention reads the caption queries.
+``generate`` is greedy decoding as a ``lax.scan`` (static length, jittable) —
+the TPU-friendly replacement for the reference's Python beam search
+(coca_model.py:286-413); sampled/beam variants can wrap the same step fn.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spatial_clip_tpu.models.clip import l2_normalize
+from spatial_clip_tpu.models.config import CLIPCfg
+from spatial_clip_tpu.models.transformer import (
+    LayerNorm,
+    MLP,
+    MultiHeadAttention,
+    TextTransformer,
+    VisionTransformer,
+    quick_gelu,
+)
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        B, Lq, _ = x.shape
+        Lk = context.shape[1]
+        head_dim = self.width // self.heads
+        q = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="q")(x)
+        kv = nn.Dense(2 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, Lq, self.heads, head_dim)
+        k = k.reshape(B, Lk, self.heads, head_dim)
+        v = v.reshape(B, Lk, self.heads, head_dim)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, Lq, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
+
+
+class MultimodalBlock(nn.Module):
+    """Causal self-attn + cross-attn + MLP (ref: transformer.py:1250+)."""
+
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, attn_mask=None):
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            width=self.width, heads=self.heads, dtype=self.dtype, name="attn"
+        )(h, attn_mask)
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1_kv")(x)
+        x = x + CrossAttention(
+            width=self.width, heads=self.heads, dtype=self.dtype, name="cross_attn"
+        )(h, context)
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_2")(x)
+        x = x + MLP(
+            width=self.width, hidden=int(self.width * self.mlp_ratio),
+            dtype=self.dtype, name="mlp",
+        )(h)
+        return x
+
+
+class MultimodalTransformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    context_length: int
+    vocab_size: int
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_embs: jnp.ndarray, image_ctx: jnp.ndarray):
+        L = token_embs.shape[1]
+        neg = jnp.finfo(jnp.float32).min
+        causal = jnp.triu(jnp.full((L, L), neg), k=1)[None, None]
+        x = token_embs
+        for i in range(self.layers):
+            x = MultimodalBlock(
+                width=self.width, heads=self.heads, mlp_ratio=self.mlp_ratio,
+                norm_eps=self.norm_eps, dtype=self.dtype, name=f"resblocks_{i}",
+            )(x, image_ctx, causal)
+        x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(x)
+        logits = nn.Dense(
+            self.vocab_size, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="to_logits",
+        )(x)
+        return logits
+
+
+class CoCa(nn.Module):
+    """ref: coca_model.py:89-285. ``text`` tokens end with EOT; the text
+    tower's cls embedding provides the contrastive feature, the multimodal
+    decoder predicts the next token over the caption."""
+
+    cfg: CLIPCfg
+    multimodal_layers: int = 6
+    caption_queries: int = 64
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        v = self.cfg.vision_cfg
+        t = self.cfg.text_cfg
+        act = quick_gelu if self.cfg.quick_gelu else nn.gelu
+        image_size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
+        self.visual = VisionTransformer(
+            image_size=image_size,
+            patch_size=v.patch_size,
+            width=v.width,
+            layers=v.layers,
+            heads=v.heads,
+            mlp_ratio=v.mlp_ratio,
+            output_dim=self.cfg.embed_dim,
+            attentional_pool=True,
+            attn_pooler_queries=self.caption_queries + 1,
+            attn_pooler_heads=v.attn_pooler_heads,
+            pool_type="tok",
+            norm_eps=v.norm_eps,
+            dtype=self.dtype,
+            act=act,
+            remat=self.remat,
+            output_tokens=True,
+        )
+        self.text = TextTransformer(
+            context_length=t.context_length,
+            vocab_size=t.vocab_size,
+            width=t.width,
+            heads=t.heads,
+            layers=t.layers,
+            mlp_ratio=t.mlp_ratio,
+            output_dim=self.cfg.embed_dim,
+            embed_cls=True,
+            pad_id=t.pad_id,
+            norm_eps=t.norm_eps,
+            dtype=self.dtype,
+            act=act,
+            remat=self.remat,
+        )
+        self.token_embedding_dec = nn.Embed(
+            t.vocab_size, t.width, dtype=self.dtype, param_dtype=jnp.float32,
+        )
+        self.img_to_text_width = nn.Dense(
+            t.width, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.decoder = MultimodalTransformer(
+            width=t.width,
+            layers=self.multimodal_layers,
+            heads=t.heads,
+            context_length=t.context_length,
+            vocab_size=t.vocab_size,
+            norm_eps=t.norm_eps,
+            dtype=self.dtype,
+        )
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(self.cfg.init_logit_scale), (),
+            jnp.float32,
+        )
+        self.dec_positional_embedding = self.param(
+            "dec_positional_embedding", nn.initializers.normal(0.01),
+            (self.cfg.text_cfg.context_length, self.cfg.text_cfg.width),
+            jnp.float32,
+        )
+
+    def _encode_image_full(self, images, deterministic=True):
+        pooled, tokens = self.visual(images, deterministic=deterministic)
+        # pooled = projected first attn-pool query; tokens = caption queries
+        return pooled, tokens
+
+    def encode_image(self, images, normalize: bool = True, deterministic=True):
+        pooled, _ = self._encode_image_full(images, deterministic)
+        return l2_normalize(pooled) if normalize else pooled
+
+    def encode_text(self, text, normalize: bool = True, deterministic=True):
+        feats = self.text(text, deterministic=deterministic)
+        return l2_normalize(feats) if normalize else feats
+
+    def decode(self, text_in: jnp.ndarray, image_tokens: jnp.ndarray) -> jnp.ndarray:
+        ctx = self.img_to_text_width(image_tokens)
+        embs = self.token_embedding_dec(text_in)
+        pos = self.dec_positional_embedding
+        embs = embs + pos[None, : embs.shape[1]].astype(self.dtype)
+        return self.decoder(embs, ctx)
+
+    def __call__(
+        self,
+        images: Optional[jnp.ndarray] = None,
+        text: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {"logit_scale": jnp.exp(self.logit_scale)}
+        tokens = None
+        if images is not None:
+            pooled, tokens = self._encode_image_full(images, deterministic)
+            out["image_features"] = l2_normalize(pooled)
+        if text is not None:
+            out["text_features"] = self.encode_text(text, deterministic=deterministic)
+        if images is not None and text is not None:
+            # teacher forcing: predict text[:, 1:] from text[:, :-1]
+            out["caption_logits"] = self.decode(text[:, :-1], tokens)
+            out["caption_labels"] = text[:, 1:]
+        return out
+
+
+def coca_caption_loss(
+    caption_logits: jnp.ndarray, caption_labels: jnp.ndarray, pad_id: int = 0
+) -> jnp.ndarray:
+    """Token-level CE over non-pad positions (ref: loss.py:158-200 CoCaLoss)."""
+    logp = jax.nn.log_softmax(caption_logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, caption_labels[..., None], axis=-1)[..., 0]
+    mask = (caption_labels != pad_id).astype(jnp.float32)
+    return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def greedy_generate(
+    model: CoCa,
+    params,
+    images: jnp.ndarray,
+    sot_token: int,
+    eot_token: int,
+    max_len: int = 30,
+) -> jnp.ndarray:
+    """Greedy caption decoding as a jittable lax.scan (static max_len)."""
+
+    def apply_decode(text_in, tokens):
+        return model.apply({"params": params}, text_in, tokens, method=CoCa.decode)
+
+    pooled_tokens = model.apply(
+        {"params": params}, images, method=CoCa._encode_image_full
+    )[1]
+    B = images.shape[0]
+    ctx_len = model.cfg.text_cfg.context_length
+
+    def step(carry, i):
+        seq, done = carry
+        logits = apply_decode(seq[:, : ctx_len - 1], pooled_tokens)
+        next_tok = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(done, 0, next_tok)
+        seq = jax.lax.dynamic_update_slice(seq, next_tok[:, None], (0, i + 1))
+        done = done | (next_tok == eot_token)
+        return (seq, done), None
+
+    seq0 = jnp.zeros((B, ctx_len), jnp.int32).at[:, 0].set(sot_token)
+    (seq, _), _ = jax.lax.scan(
+        step, (seq0, jnp.zeros((B,), bool)), jnp.arange(min(max_len, ctx_len - 1))
+    )
+    return seq

@@ -93,6 +93,16 @@ class GeneCfg:
 
 
 @dataclass
+class MultimodalCfg:
+    """CoCa multimodal decoder spec (ref: coca_model.py MultimodalCfg)."""
+
+    layers: int = 6
+    caption_queries: int = 64
+    caption_loss_weight: float = 2.0
+    contrastive_loss_weight: float = 1.0
+
+
+@dataclass
 class CLIPCfg:
     """Top-level two-tower spec."""
 
@@ -100,6 +110,7 @@ class CLIPCfg:
     vision_cfg: VisionCfg = field(default_factory=VisionCfg)
     text_cfg: TextCfg = field(default_factory=TextCfg)
     gene_cfg: Optional[GeneCfg] = None  # if set, replaces the text tower
+    multimodal_cfg: Optional[MultimodalCfg] = None  # if set, builds CoCa
     attn_impl: str = "xla"  # 'xla' fused dot_product_attention | 'einsum'
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
@@ -111,11 +122,17 @@ class CLIPCfg:
         vision = cfg.pop("vision_cfg", {}) or {}
         text = cfg.pop("text_cfg", {}) or {}
         gene = cfg.pop("gene_cfg", None)
+        multimodal = cfg.pop("multimodal_cfg", None)
         known = _filter_kwargs(cls, cfg)
         return cls(
             vision_cfg=VisionCfg(**_filter_kwargs(VisionCfg, vision)),
             text_cfg=TextCfg(**_filter_kwargs(TextCfg, text)),
             gene_cfg=GeneCfg(**_filter_kwargs(GeneCfg, gene)) if gene else None,
+            multimodal_cfg=(
+                MultimodalCfg(**_filter_kwargs(MultimodalCfg, multimodal))
+                if multimodal
+                else None
+            ),
             **known,
         )
 

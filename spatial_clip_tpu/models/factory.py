@@ -74,7 +74,7 @@ class ModelBundle:
             {"params": self.params if params is None else params},
             images,
             normalize,
-            method=CLIP.encode_image,
+            method=type(self.model).encode_image,
         )
 
     def encode_text(self, text, params=None, normalize: bool = True):
@@ -82,7 +82,7 @@ class ModelBundle:
             {"params": self.params if params is None else params},
             text,
             normalize,
-            method=CLIP.encode_text,
+            method=type(self.model).encode_text,
         )
 
     def __call__(self, images=None, text=None, params=None, deterministic=True, rngs=None):
@@ -163,7 +163,18 @@ def create_model(
     if init_logit_bias is not None:
         cfg.init_logit_bias = init_logit_bias
     dtype = _PRECISION_DTYPES.get(precision, jnp.bfloat16)
-    model = CLIP(cfg=cfg, dtype=dtype, remat=remat)
+    if cfg.multimodal_cfg is not None:
+        from spatial_clip_tpu.models.coca import CoCa
+
+        model = CoCa(
+            cfg=cfg,
+            multimodal_layers=cfg.multimodal_cfg.layers,
+            caption_queries=cfg.multimodal_cfg.caption_queries,
+            dtype=dtype,
+            remat=remat,
+        )
+    else:
+        model = CLIP(cfg=cfg, dtype=dtype, remat=remat)
     params = init_params(model, cfg, seed=seed)
 
     if pretrained:

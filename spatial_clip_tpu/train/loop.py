@@ -71,6 +71,7 @@ class TrainerConfig:
     save_every_steps: Optional[int] = None
     keep_ckpts: int = 3
     max_logit_scale: float = LOGIT_SCALE_MAX
+    frozen_prefixes: Tuple[str, ...] = ()  # e.g. ("visual",) = LiT image lock
     extra: Dict[str, Any] = dfield(default_factory=dict)
 
 
@@ -119,6 +120,7 @@ class Trainer:
             schedule_name=self.cfg.schedule,
             warmup_steps=self.cfg.warmup_steps,
             total_steps=self.cfg.total_steps,
+            frozen_prefixes=tuple(self.cfg.frozen_prefixes or ()),
         )
         self.metrics = ContrastiveMetrics()
         self.ckpt = (
@@ -307,8 +309,9 @@ class Trainer:
                 state, metrics = self._train_step(state, dbatch)
                 step_no = int(state.step)
                 if step_no % self.cfg.log_every == 0:
+                    # float() conversion below blocks on fresh output buffers
+                    # (donated-state buffers may report ready early)
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    jax.block_until_ready(state.params["logit_scale"])
                     t2 = time.perf_counter()
                     t_data += t1 - t0
                     t_step += t2 - t1

@@ -86,6 +86,38 @@ def make_schedule(
     raise ValueError(f"unknown schedule: {name}")
 
 
+def freeze_mask(params, frozen_prefixes: Tuple[str, ...]) -> Any:
+    """True for params under a frozen top-level tower.
+
+    The JAX analogue of LiT-style tower locking
+    (ref: open_clip_train/main.py:276-298 lock_image_tower/lock_text_tower,
+    model.py lock methods): instead of requires_grad=False, frozen subtrees
+    get zeroed updates so they never move (and carry no optimizer state
+    semantics that matter).
+    """
+    flat = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = any(
+                    "/".join(p).startswith(pref.rstrip("/")) for pref in frozen_prefixes
+                )
+
+    walk(params, ())
+
+    def rebuild(tree, path):
+        return {
+            k: rebuild(v, path + (k,)) if isinstance(v, dict) else flat[path + (k,)]
+            for k, v in tree.items()
+        }
+
+    return rebuild(params, ())
+
+
 def make_optimizer(
     params,
     learning_rate: float = 5e-4,
@@ -96,11 +128,13 @@ def make_optimizer(
     schedule_name: str = "cosine",
     warmup_steps: int = 2000,
     total_steps: int = 100_000,
+    frozen_prefixes: Tuple[str, ...] = (),
     **schedule_kwargs,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """AdamW + global-norm clipping + schedule, with the reference's
     no-decay split (main.py:338-366; trainer grad_clip_val=1.0 per
-    configs/trainer/default.yaml)."""
+    configs/trainer/default.yaml) and optional tower locking
+    (``frozen_prefixes=("visual",)`` locks the image tower)."""
     schedule = make_schedule(
         schedule_name, learning_rate, warmup_steps, total_steps, **schedule_kwargs
     )
@@ -117,4 +151,9 @@ def make_optimizer(
             mask=decay_mask(params),
         )
     )
+    if frozen_prefixes:
+        frozen = freeze_mask(params, tuple(frozen_prefixes))
+        chain.append(
+            optax.masked(optax.set_to_zero(), frozen)
+        )
     return optax.chain(*chain), schedule

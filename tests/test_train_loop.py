@@ -98,3 +98,32 @@ def test_checkpoint_roundtrip(tmp_path, tiny_bundle):
 
     ls = float(state2.params["logit_scale"])
     assert 0.0 <= ls <= math.log(100.0) + 1e-6
+
+
+def test_tower_locking_freezes_params(tiny_bundle):
+    import jax
+    from spatial_clip_tpu.losses import make_loss
+
+    cfg = TrainerConfig(
+        learning_rate=1e-2, warmup_steps=1, total_steps=10, augment=False,
+        log_every=1, frozen_prefixes=("visual",),
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    step = tr.make_train_step()
+    state = tr.init_state()
+    before = jax.tree.map(np.array, state.params)
+    batch = next(iter(_make_data(n=8, batch=8)()))
+    db = tr._device_batch(batch)
+    for _ in range(3):  # step past the lr warmup from 0
+        state, _ = step(state, db)
+    after = state.params
+    # frozen image tower unchanged
+    np.testing.assert_array_equal(
+        np.asarray(after["visual"]["conv1"]["kernel"]),
+        before["visual"]["conv1"]["kernel"],
+    )
+    # text tower moved
+    assert not np.array_equal(
+        np.asarray(after["text"]["token_embedding"]["embedding"]),
+        before["text"]["token_embedding"]["embedding"],
+    )
