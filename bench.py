@@ -73,16 +73,17 @@ def main():
     }
     dbatch = trainer._device_batch(host_batch)
 
-    # NOTE: block on a FRESH output buffer (metrics['loss']); donated-state
-    # buffers can report ready before execution completes on some runtimes.
+    # NOTE: the only reliable completion barrier on the remote-tunnel runtime
+    # is an actual device->host VALUE fetch (block_until_ready can return
+    # before execution finishes there), so sync via float(np.asarray(...)).
     for _ in range(warmup):
         state, metrics = step(state, dbatch)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, dbatch)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = B * steps / dt
@@ -99,7 +100,7 @@ def main():
                     "global_batch": B,
                     "n_chips": n_dev,
                     "step_ms": round(1000 * dt / steps, 2),
-                    "loss": float(metrics["loss"]),
+                    "loss": final_loss,
                 },
             }
         )
