@@ -62,6 +62,12 @@ class TrainerConfig:
     warmup_steps: int = 500
     total_steps: int = 10_000
     grad_accum: int = 1
+    # 'cached': reference semantics (train.py:144-193) — features for the
+    #   FULL effective batch are computed grad-free, then each microbatch is
+    #   re-embedded with grad against the cached global matrix, so the
+    #   contrastive batch equals accum*microbatch at O(microbatch) activation
+    #   memory. 'simple': average of per-microbatch losses.
+    grad_accum_mode: str = "cached"
     augment: bool = True
     horizontal_flip_prob: float = 0.5
     color_jitter: Optional[float] = None
@@ -144,7 +150,7 @@ class Trainer:
         return jax.device_put(state, self._repl)
 
     # ------------------------------------------------------------- train step
-    def _loss_and_metrics(self, params, batch, rng, deterministic=False):
+    def _forward_features(self, params, batch, rng, deterministic=False):
         cfg = self.cfg
         aug = (
             {"flip": cfg.horizontal_flip_prob, "jitter": cfg.color_jitter}
@@ -160,13 +166,16 @@ class Trainer:
             aug,
             rng_aug,
         )
-        features = self.bundle.model.apply(
+        return self.bundle.model.apply(
             {"params": params},
             images,
             batch["texts"],
             deterministic,
             rngs=None if deterministic else {"dropout": rng_drop},
         )
+
+    def _loss_and_metrics(self, params, batch, rng, deterministic=False):
+        features = self._forward_features(params, batch, rng, deterministic)
         loss_out = self.loss(**{**batch, **features})
         loss = loss_out["contrastive_loss"]
         # in-batch logits for R@k (ref: spatial_clip_module.py:68-70)
@@ -174,6 +183,70 @@ class Trainer:
             features["image_features"] @ features["text_features"].T
         ) * features["logit_scale"]
         return loss, (features, logits)
+
+    def _cached_accum_grads(self, params, batch, rng, accum: int):
+        """Cached-feature gradient accumulation (ref: open_clip_train/
+        train.py:144-193): pass 1 embeds every microbatch grad-free; pass 2
+        re-embeds each microbatch with grad, splices it into the cached
+        global feature matrix, and backprops the FULL-batch loss — the
+        contrastive batch is the full effective batch at microbatch-sized
+        activation memory. Works for clip AND spatial losses (the reference
+        accum path supports only non-spatial)."""
+        mb_size = batch["images"].shape[0] // accum
+
+        def split(x):
+            return x.reshape((accum, mb_size) + x.shape[1:])
+
+        mbs = jax.tree.map(split, batch)
+
+        def fwd1(_, xs):
+            mb, i = xs
+            f = self._forward_features(
+                params, mb, jax.random.fold_in(rng, i), deterministic=False
+            )
+            return None, (f["image_features"], f["text_features"])
+
+        _, (img_f, txt_f) = jax.lax.scan(
+            fwd1, None, (mbs, jnp.arange(accum))
+        )
+        D = img_f.shape[-1]
+        all_img = jax.lax.stop_gradient(img_f.reshape(-1, D))
+        all_txt = jax.lax.stop_gradient(txt_f.reshape(-1, D))
+
+        def mb_loss(p, j):
+            mb = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, j, 0, keepdims=False), mbs
+            )
+            f = self._forward_features(
+                p, mb, jax.random.fold_in(rng, j), deterministic=False
+            )
+            start = j * mb_size
+            img_asm = jax.lax.dynamic_update_slice(
+                all_img, f["image_features"].astype(all_img.dtype), (start, 0)
+            )
+            txt_asm = jax.lax.dynamic_update_slice(
+                all_txt, f["text_features"].astype(all_txt.dtype), (start, 0)
+            )
+            inputs = {
+                **batch,
+                "image_features": img_asm,
+                "text_features": txt_asm,
+                "logit_scale": f["logit_scale"],
+            }
+            if "logit_bias" in f:
+                inputs["logit_bias"] = f["logit_bias"]
+            return self.loss(**inputs)["contrastive_loss"]
+
+        def body(g_acc, j):
+            l, g = jax.value_and_grad(mb_loss, argnums=0)(params, j)
+            return jax.tree.map(jnp.add, g_acc, g), l
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grads, losses = jax.lax.scan(body, zero, jnp.arange(accum))
+        # metric logits over the full effective batch
+        scale = jnp.exp(params["logit_scale"])
+        logits = (all_img @ all_txt.T) * scale
+        return losses[-1], logits, grads
 
     def make_train_step(self) -> Callable:
         cfg = self.cfg
@@ -191,6 +264,10 @@ class Trainer:
                 (loss, (_, logits)), grads = jax.value_and_grad(
                     compute, has_aux=True
                 )(state.params, batch, rng)
+            elif cfg.grad_accum_mode == "cached":
+                loss, logits, grads = self._cached_accum_grads(
+                    state.params, batch, rng, accum
+                )
             else:
                 # microbatch scan: grads averaged; contrastive batch = microbatch
                 def split(x):
