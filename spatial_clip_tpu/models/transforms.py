@@ -183,6 +183,43 @@ def augment_batch(
     return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
 
 
+def augment_normalize_batch(
+    rng: jax.Array,
+    images_u8: jnp.ndarray,
+    mean: Sequence[float] = OPENAI_DATASET_MEAN,
+    std: Sequence[float] = OPENAI_DATASET_STD,
+    dtype: Any = jnp.float32,
+    horizontal_flip_prob: float = 0.5,
+    color_jitter: Optional[float] = None,
+) -> jnp.ndarray:
+    """Fused augment + normalize: one affine elementwise pass over the batch.
+
+    Brightness/contrast jitter and mean/std normalization are all per-pixel
+    affine maps, so they compose into a single scale+shift; the horizontal
+    flip folds into the same pass as a select on the reversed view. This
+    avoids ``augment_batch``'s uint8 round-trip (several extra HBM passes on
+    a (B,224,224,3) batch).
+    """
+    k_flip, k_b, k_c = jax.random.split(rng, 3)
+    B = images_u8.shape[0]
+    x = images_u8.astype(jnp.float32)
+    if horizontal_flip_prob > 0:
+        flip = jax.random.bernoulli(k_flip, horizontal_flip_prob, (B, 1, 1, 1))
+        x = jnp.where(flip, x[:, :, ::-1, :], x)
+    mean_arr = jnp.asarray(mean, dtype=jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray(std, dtype=jnp.float32) * 255.0)
+    if color_jitter:
+        b = 1.0 + jax.random.uniform(k_b, (B, 1, 1, 1), minval=-color_jitter, maxval=color_jitter)
+        c = 1.0 + jax.random.uniform(k_c, (B, 1, 1, 1), minval=-color_jitter, maxval=color_jitter)
+        mean_px = x.mean(axis=(1, 2, 3), keepdims=True)
+        # ((x - mean_px)*c + mean_px*b - mean) * inv_std == x*(c*inv_std) + ...
+        shift = mean_px * (b - c)
+        x = ((x * c + shift) - mean_arr) * inv_std
+    else:
+        x = (x - mean_arr) * inv_std
+    return x.astype(dtype)
+
+
 def image_transform(
     image_size: Union[int, Tuple[int, int]] = 224,
     is_train: bool = False,

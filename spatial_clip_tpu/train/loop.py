@@ -29,7 +29,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spatial_clip_tpu.losses import LossFn, make_loss
 from spatial_clip_tpu.models.factory import ModelBundle
-from spatial_clip_tpu.models.transforms import augment_batch, normalize_batch
+from spatial_clip_tpu.models.transforms import (
+    augment_batch,
+    augment_normalize_batch,
+    normalize_batch,
+)
 from spatial_clip_tpu.parallel.mesh import make_mesh
 from spatial_clip_tpu.train.checkpoints import CheckpointManager
 from spatial_clip_tpu.train.metrics import (
@@ -85,9 +89,12 @@ def _prepare_images(images, mean, std, dtype, augment_cfg, rng):
     """uint8 host tiles -> normalized model input, fused on device."""
     if images.dtype == jnp.uint8:
         if augment_cfg is not None:
-            images = augment_batch(
+            return augment_normalize_batch(
                 rng,
                 images,
+                mean,
+                std,
+                dtype,
                 horizontal_flip_prob=augment_cfg["flip"],
                 color_jitter=augment_cfg["jitter"],
             )
