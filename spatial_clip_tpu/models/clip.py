@@ -61,6 +61,7 @@ class CLIP(nn.Module):
             pos_embed_type=v.pos_embed_type,
             final_ln_after_pool=v.final_ln_after_pool,
             pool_type=v.pool_type,
+            patchify_impl=v.patchify_impl,
             norm_eps=v.norm_eps,
             dtype=self.dtype,
             act=act,

@@ -40,6 +40,7 @@ class VisionCfg:
     pos_embed_type: str = "learnable"  # learnable | sin_cos_2d
     final_ln_after_pool: bool = False
     pool_type: str = "tok"  # tok | avg | none
+    patchify_impl: str = "reshape"  # reshape (GEMM) | conv
     output_tokens: bool = False
     norm_eps: float = 1e-5
     act_kwargs: Optional[Dict[str, Any]] = None

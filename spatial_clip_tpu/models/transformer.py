@@ -194,6 +194,35 @@ class Transformer(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patchify as reshape + one MXU GEMM.
+
+    Keeps the conv's HWIO ``kernel`` param (checkpoint-compatible with
+    ``visual.conv1.weight``) but avoids TPU conv lowering overhead — the
+    backward pass is a plain GEMM instead of a gradient conv.
+    """
+
+    patch_size: int
+    width: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = images.shape
+        p = self.patch_size
+        gh, gw = H // p, W // p
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, C, self.width),
+            jnp.float32,
+        )
+        patches = images.astype(self.dtype).reshape(B, gh, p, gw, p, C)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, p * p * C)
+        w = kernel.reshape(p * p * C, self.width).astype(self.dtype)
+        return patches @ w
+
+
 def sincos_2d_pos_embed(width: int, grid_h: int, grid_w: int) -> jnp.ndarray:
     """2D sin-cos positional embedding (ref: src/open_clip/pos_embed.py:20-96)."""
     assert width % 4 == 0
@@ -306,6 +335,10 @@ class VisionTransformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "xla"
+    # 'reshape': non-overlapping patchify as reshape+matmul — a single plain
+    # MXU GEMM fwd AND bwd (conv lowering pays im2col/grad-conv overhead on
+    # TPU). 'conv': nn.Conv. Both share the same HWIO kernel param.
+    patchify_impl: str = "reshape"
 
     def _pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.pool_type == "avg":
@@ -320,16 +353,24 @@ class VisionTransformer(nn.Module):
     ):
         """images: (B, H, W, 3) float in model input space (NHWC, TPU-native)."""
         B = images.shape[0]
-        x = nn.Conv(
-            self.width,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(images.astype(self.dtype))
-        x = x.reshape(B, -1, self.width)  # (B, grid*grid, width)
+        if self.patchify_impl == "reshape":
+            x = PatchEmbed(
+                patch_size=self.patch_size,
+                width=self.width,
+                dtype=self.dtype,
+                name="conv1",
+            )(images)
+        else:
+            x = nn.Conv(
+                self.width,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(images.astype(self.dtype))
+            x = x.reshape(B, -1, self.width)  # (B, grid*grid, width)
         n_patches = x.shape[1]
 
         cls = self.param(

@@ -53,6 +53,29 @@ def make_mesh(
     return Mesh(arr, tuple(axes))
 
 
+def make_hybrid_mesh(
+    dcn_axis: str = "replica",
+    ici_axes: Sequence[str] = (DATA_AXIS,),
+    ici_sizes: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Multi-slice mesh: slow DCN axis outermost, fast ICI axes within a
+    slice (the 'multi-pod data parallelism over DCN' shape, SURVEY.md §2.7).
+    Falls back to a single-slice mesh when there's one slice."""
+    from jax.experimental import mesh_utils
+
+    n_slices = getattr(jax.devices()[0], "num_slices", 1) or 1
+    per_slice = len(jax.devices()) // n_slices
+    if ici_sizes is None:
+        ici_sizes = [per_slice] + [1] * (len(ici_axes) - 1)
+    if n_slices == 1:
+        return make_mesh(axes=(dcn_axis, *ici_axes), axis_sizes=[1, *ici_sizes])
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=tuple(ici_sizes),
+        dcn_mesh_shape=(n_slices,) + (1,) * (len(ici_sizes) - 1),
+    )
+    return Mesh(devices, (dcn_axis, *ici_axes))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -139,3 +139,21 @@ def test_jit_forward_compiles(tiny_bundle):
     text = jnp.ones((2, 16), jnp.int32)
     out = fwd(params, images, text)
     assert out["image_features"].shape == (2, 32)
+
+
+def test_patchify_reshape_matches_conv():
+    """reshape+GEMM patchify must equal nn.Conv given shared kernel params."""
+    import jax.numpy as jnp
+    from spatial_clip_tpu.models.transformer import VisionTransformer
+
+    kw = dict(image_size=32, patch_size=16, width=32, layers=1, heads=2,
+              output_dim=16, dtype=jnp.float32)
+    vit_r = VisionTransformer(patchify_impl="reshape", **kw)
+    vit_c = VisionTransformer(patchify_impl="conv", **kw)
+    img = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32
+    )
+    params = vit_r.init(jax.random.PRNGKey(0), img)["params"]
+    out_r = vit_r.apply({"params": params}, img)
+    out_c = vit_c.apply({"params": params}, img)  # same param tree (conv1/kernel)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c), rtol=1e-5, atol=1e-6)
