@@ -54,7 +54,12 @@ def load_torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
         return load_file(str(path))
     import torch
 
-    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    except RuntimeError:
+        # OpenAI ships TorchScript archives (ref: src/open_clip/openai.py:24
+        # load_openai_model) — fall back to jit.load and take its state dict
+        obj = torch.jit.load(str(path), map_location="cpu").state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     sd = {}

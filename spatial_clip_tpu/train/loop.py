@@ -82,6 +82,11 @@ class TrainerConfig:
     keep_ckpts: int = 3
     max_logit_scale: float = LOGIT_SCALE_MAX
     frozen_prefixes: Tuple[str, ...] = ()  # e.g. ("visual",) = LiT image lock
+    # callback parity (ref: configs/callbacks/default.yaml — ModelCheckpoint
+    # monitors val/R@1 max, EarlyStopping patience)
+    monitor: str = "R@1"
+    monitor_mode: str = "max"
+    early_stop_patience: Optional[int] = None
     extra: Dict[str, Any] = dfield(default_factory=dict)
 
 
@@ -380,6 +385,10 @@ class Trainer:
             self._train_step = self.make_train_step()
         n_dev = self.mesh.devices.size
         last: Dict[str, float] = {}
+        sign = 1.0 if self.cfg.monitor_mode == "max" else -1.0
+        best_score = -float("inf")
+        stale_evals = 0
+        self.best_step = None
         for epoch in range(epochs):
             t_data = t_step = 0.0
             n_samples = 0
@@ -428,6 +437,28 @@ class Trainer:
                 last.update({f"val/{k}": v for k, v in val_metrics.items()})
                 if logger:
                     logger.log(int(state.step), {f"val/{k}": v for k, v in val_metrics.items()})
+                score = val_metrics.get(self.cfg.monitor)
+                if score is not None:
+                    if sign * score > best_score:
+                        best_score = sign * score
+                        stale_evals = 0
+                        self.best_step = int(state.step)
+                        if self.ckpt:
+                            self.ckpt.save(
+                                jax.tree.map(np.asarray, state), int(state.step), last
+                            )
+                    else:
+                        stale_evals += 1
+                        if (
+                            self.cfg.early_stop_patience
+                            and stale_evals >= self.cfg.early_stop_patience
+                        ):
+                            log.info(
+                                "Early stopping at step %d (no %s improvement "
+                                "for %d evals)",
+                                int(state.step), self.cfg.monitor, stale_evals,
+                            )
+                            break
             if self.ckpt:
                 self.ckpt.save(jax.tree.map(np.asarray, state), int(state.step), last)
         return state, last

@@ -84,6 +84,15 @@ def build_trainer(cfg, bundle, total_steps: int, mesh=None):
         ),
         save_every_steps=tcfg.get("save_every_steps"),
         keep_ckpts=int(tcfg.get("keep_ckpts", 3)),
+        monitor=((cfg.get("callbacks") or {}).get("model_checkpoint") or {}).get(
+            "monitor", "R@1"
+        ),
+        monitor_mode=((cfg.get("callbacks") or {}).get("model_checkpoint") or {}).get(
+            "mode", "max"
+        ),
+        early_stop_patience=(
+            ((cfg.get("callbacks") or {}).get("early_stopping") or {}).get("patience")
+        ),
     )
     return Trainer(bundle, loss=loss, config=config, mesh=mesh)
 
