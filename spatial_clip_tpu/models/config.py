@@ -112,7 +112,9 @@ class CLIPCfg:
     text_cfg: TextCfg = field(default_factory=TextCfg)
     gene_cfg: Optional[GeneCfg] = None  # if set, replaces the text tower
     multimodal_cfg: Optional[MultimodalCfg] = None  # if set, builds CoCa
-    attn_impl: str = "xla"  # 'xla' fused dot_product_attention | 'einsum'
+    # einsum (explicit fp32-softmax) measures ~5% faster than the fused
+    # dot_product_attention at CLIP sequence lengths (50/77 tokens) on v5e
+    attn_impl: str = "einsum"  # einsum | xla (fused dot_product_attention)
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
     quick_gelu: bool = False

@@ -77,7 +77,7 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Dtype = jnp.float32
-    impl: str = "xla"
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -125,7 +125,7 @@ class ResidualBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
-    attn_impl: str = "xla"
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -170,7 +170,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -334,7 +334,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "einsum"
     # 'reshape': non-overlapping patchify as reshape+matmul — a single plain
     # MXU GEMM fwd AND bwd (conv lowering pays im2col/grad-conv overhead on
     # TPU). 'conv': nn.Conv. Both share the same HWIO kernel param.
@@ -481,7 +481,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
