@@ -74,6 +74,15 @@ def make_loss(kind: str = "clip", **options) -> LossFn:
             use_fused_kernel=bool(options.get("use_fused_kernel", False)),
         )
         return LossFn("spatial", fn, _SPATIAL_ARGS, options)
+    if kind in ("spatial_ring", "ring"):
+        from spatial_clip_tpu.losses.ring import ring_spatial_loss
+
+        fn = functools.partial(
+            ring_spatial_loss,
+            cap_logit_scale=options.get("cap_logit_scale"),
+            neighbor_alpha_scale=float(options.get("neighbor_alpha_scale", 1.0) or 1.0),
+        )
+        return LossFn("spatial_ring", fn, _SPATIAL_ARGS, options)
     if kind == "coca":
         from spatial_clip_tpu.models.coca import coca_caption_loss
 

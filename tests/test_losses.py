@@ -263,3 +263,51 @@ def test_make_loss_dispatch(feats):
     assert np.isfinite(float(out2["contrastive_loss"]))
     with pytest.raises(TypeError):
         make_loss("spatial")(image_features=jnp.asarray(img))
+
+
+def test_ring_spatial_loss_matches_global(feats):
+    """Ring (ppermute, O(local_B) memory) == global all-gather formulation."""
+    from spatial_clip_tpu.losses.ring import ring_spatial_loss
+
+    img, txt, tile_ids, nbr, alphas = feats
+    want = spatial_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.float32(10.0),
+        jnp.asarray(tile_ids), jnp.asarray(tile_ids),
+        jnp.asarray(nbr), jnp.asarray(alphas), cap_logit_scale=50.0,
+    )["contrastive_loss"]
+    mesh = make_mesh(devices=jax.devices()[:N_DEV])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P(),
+    )
+    def run(i, t, ids, nb, al):
+        return ring_spatial_loss(
+            i, t, jnp.float32(10.0), ids, ids, nb, al,
+            axis_name="data", cap_logit_scale=50.0,
+        )["contrastive_loss"]
+
+    got = run(
+        jnp.asarray(img), jnp.asarray(txt), jnp.asarray(tile_ids),
+        jnp.asarray(nbr), jnp.asarray(alphas),
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    # gradients flow through the ppermute ring
+    def loss_of_feats(i, t):
+        return run(i, t, jnp.asarray(tile_ids), jnp.asarray(nbr), jnp.asarray(alphas))
+
+    gi, gt_ = jax.grad(loss_of_feats, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(txt))
+    assert np.isfinite(np.asarray(gi)).all() and np.abs(np.asarray(gi)).sum() > 0
+
+    # ...and match the global formulation's gradients
+    def global_loss(i, t):
+        return spatial_loss(
+            i, t, jnp.float32(10.0), jnp.asarray(tile_ids), jnp.asarray(tile_ids),
+            jnp.asarray(nbr), jnp.asarray(alphas), cap_logit_scale=50.0,
+        )["contrastive_loss"]
+
+    gi2, gt2 = jax.grad(global_loss, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(txt))
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi2), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_), np.asarray(gt2), rtol=1e-4, atol=1e-6)
