@@ -44,30 +44,44 @@ class CLIP(nn.Module):
         v = self.cfg.vision_cfg
         act = quick_gelu if self.cfg.quick_gelu else nn.gelu
         image_size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
-        self.visual = VisionTransformer(
-            image_size=image_size,
-            patch_size=v.patch_size,
-            width=v.width,
-            layers=v.layers,
-            heads=v.heads,
-            mlp_ratio=v.mlp_ratio,
-            output_dim=self.cfg.embed_dim,
-            ls_init_value=v.ls_init_value,
-            patch_dropout=v.patch_dropout,
-            attentional_pool=v.attentional_pool,
-            attn_pooler_queries=v.attn_pooler_queries,
-            attn_pooler_heads=v.attn_pooler_heads,
-            no_ln_pre=v.no_ln_pre,
-            pos_embed_type=v.pos_embed_type,
-            final_ln_after_pool=v.final_ln_after_pool,
-            pool_type=v.pool_type,
-            patchify_impl=v.patchify_impl,
-            norm_eps=v.norm_eps,
-            dtype=self.dtype,
-            act=act,
-            remat=self.remat,
-            attn_impl=self.cfg.attn_impl,
-        )
+        if isinstance(v.layers, (list, tuple)):
+            # a list of stage depths selects the modified ResNet tower
+            # (ref: model.py:133-206 _build_vision_tower)
+            from spatial_clip_tpu.models.modified_resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(
+                layers=tuple(v.layers),
+                width=v.width,
+                image_size=image_size,
+                heads=v.width * 32 // 64,
+                output_dim=self.cfg.embed_dim,
+                dtype=self.dtype,
+            )
+        else:
+            self.visual = VisionTransformer(
+                image_size=image_size,
+                patch_size=v.patch_size,
+                width=v.width,
+                layers=v.layers,
+                heads=v.heads,
+                mlp_ratio=v.mlp_ratio,
+                output_dim=self.cfg.embed_dim,
+                ls_init_value=v.ls_init_value,
+                patch_dropout=v.patch_dropout,
+                attentional_pool=v.attentional_pool,
+                attn_pooler_queries=v.attn_pooler_queries,
+                attn_pooler_heads=v.attn_pooler_heads,
+                no_ln_pre=v.no_ln_pre,
+                pos_embed_type=v.pos_embed_type,
+                final_ln_after_pool=v.final_ln_after_pool,
+                pool_type=v.pool_type,
+                patchify_impl=v.patchify_impl,
+                norm_eps=v.norm_eps,
+                dtype=self.dtype,
+                act=act,
+                remat=self.remat,
+                attn_impl=self.cfg.attn_impl,
+            )
         if self.cfg.gene_cfg is not None:
             g = self.cfg.gene_cfg
             self.text = GeneMLPTower(

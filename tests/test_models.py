@@ -157,3 +157,23 @@ def test_patchify_reshape_matches_conv():
     out_r = vit_r.apply({"params": params}, img)
     out_c = vit_c.apply({"params": params}, img)  # same param tree (conv1/kernel)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c), rtol=1e-5, atol=1e-6)
+
+
+def test_modified_resnet_tower():
+    bundle = create_model("RN-Test", precision="fp32", seed=0)
+    images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    text = np.ones((2, 16), dtype=np.int32)
+    out = bundle(images=images, text=text)
+    assert out["image_features"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["image_features"], axis=-1), 1.0, rtol=1e-5
+    )
+    # frozen BN stats receive zero gradient
+    def f(params):
+        return bundle.model.apply({"params": params}, images, text)[
+            "image_features"
+        ].sum()
+
+    g = jax.grad(f)(bundle.params)
+    assert float(np.abs(g["visual"]["bn1"]["mean"]).sum()) == 0.0
+    assert float(np.abs(g["visual"]["bn1"]["scale"]).sum()) > 0.0
