@@ -112,6 +112,20 @@ def make_loss(kind: str = "clip", **options) -> LossFn:
             "coca", coca_fn, _BASE_ARGS | {"caption_logits", "caption_labels"},
             options,
         )
+    if kind in ("distill", "distill_clip"):
+        from spatial_clip_tpu.losses.contrastive import distill_clip_loss
+
+        fn = functools.partial(
+            distill_clip_loss,
+            float32_logits=bool(options.get("float32_logits", True)),
+        )
+        return LossFn(
+            "distill",
+            fn,
+            _BASE_ARGS
+            | {"dist_image_features", "dist_text_features", "dist_logit_scale"},
+            options,
+        )
     if kind in ("siglip", "sigmoid"):
         fn = functools.partial(
             siglip_loss, dist_impl=options.get("dist_impl", "shift")

@@ -225,6 +225,50 @@ def spatial_loss(
     return {"contrastive_loss": _sum_mean_over_axis(total, axis_name)}
 
 
+def distill_clip_loss(
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    dist_image_features: jnp.ndarray,
+    dist_text_features: jnp.ndarray,
+    dist_logit_scale: jnp.ndarray,
+    logit_bias: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    float32_logits: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Teacher-student distillation CLIP loss (ref: loss.py:203-239
+    DistillClipLoss): standard InfoNCE + soft CE between the teacher's
+    softmax distribution and the student's logits, both directions."""
+    B = image_features.shape[0]
+    all_img, all_txt = gather_features(image_features, text_features, axis_name)
+    d_all_img, d_all_txt = gather_features(
+        dist_image_features, dist_text_features, axis_name
+    )
+    base = clip_loss(
+        image_features, text_features, logit_scale,
+        logit_bias=logit_bias, axis_name=axis_name, float32_logits=float32_logits,
+    )["contrastive_loss"]
+
+    logits_i = (image_features @ all_txt.T * logit_scale).astype(jnp.float32)
+    logits_t = (text_features @ all_img.T * logit_scale).astype(jnp.float32)
+    t_logits_i = lax.stop_gradient(
+        (dist_image_features @ d_all_txt.T * dist_logit_scale).astype(jnp.float32)
+    )
+    t_logits_t = lax.stop_gradient(
+        (dist_text_features @ d_all_img.T * dist_logit_scale).astype(jnp.float32)
+    )
+
+    def soft_ce(student, teacher):
+        return -(jax.nn.softmax(teacher, axis=1) * jax.nn.log_softmax(student, axis=1)).sum(1).mean()
+
+    distill = 0.5 * (soft_ce(logits_i, t_logits_i) + soft_ce(logits_t, t_logits_t))
+    distill = _sum_mean_over_axis(distill, axis_name)
+    return {
+        "contrastive_loss": base + distill,
+        "distill_loss": distill,
+    }
+
+
 def _siglip_pair_loss(
     img: jnp.ndarray,
     txt: jnp.ndarray,

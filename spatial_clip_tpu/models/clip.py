@@ -75,6 +75,8 @@ class CLIP(nn.Module):
                 pos_embed_type=v.pos_embed_type,
                 final_ln_after_pool=v.final_ln_after_pool,
                 pool_type=v.pool_type,
+                qk_norm=v.qk_norm,
+                scaled_cosine=v.scaled_cosine,
                 patchify_impl=v.patchify_impl,
                 norm_eps=v.norm_eps,
                 dtype=self.dtype,
@@ -107,6 +109,7 @@ class CLIP(nn.Module):
                 no_causal_mask=t.no_causal_mask,
                 pad_id=t.pad_id,
                 pool_type=t.pool_type,
+                qk_norm=t.qk_norm,
                 final_ln_after_pool=t.final_ln_after_pool,
                 proj_bias=t.proj_bias,
                 norm_eps=t.norm_eps,

@@ -40,6 +40,8 @@ class VisionCfg:
     pos_embed_type: str = "learnable"  # learnable | sin_cos_2d
     final_ln_after_pool: bool = False
     pool_type: str = "tok"  # tok | avg | none
+    qk_norm: bool = False
+    scaled_cosine: bool = False
     patchify_impl: str = "reshape"  # reshape (GEMM) | conv
     output_tokens: bool = False
     norm_eps: float = 1e-5
@@ -73,6 +75,7 @@ class TextCfg:
     no_causal_mask: bool = False
     final_ln_after_pool: bool = False
     pool_type: str = "argmax"  # argmax (EOT) | last | first | avg | none
+    qk_norm: bool = False
     proj_bias: bool = False
     norm_eps: float = 1e-5
     hf_tokenizer_name: Optional[str] = None

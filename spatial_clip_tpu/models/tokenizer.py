@@ -310,6 +310,47 @@ class HashTokenizer:
         return out
 
 
+class ReductionTokenizer:
+    """Mask-reduction tokenizer wrapper (ref: tokenizer.py:280-404
+    random/simple/shuffle mask variants): when a text over-fills the context,
+    keep a random subset (``random``: sorted random subset, ``shuffle``:
+    unsorted, ``simple``: random contiguous crop) instead of truncating.
+    Wraps any base tokenizer exposing ``encode``/``sot_token``/``eot_token``.
+    """
+
+    def __init__(self, base, reduction: str = "random", seed: int = 0):
+        if reduction not in ("random", "shuffle", "simple"):
+            raise ValueError(f"unknown reduction mask: {reduction}")
+        self.base = base
+        self.reduction = reduction
+        self.rng = np.random.default_rng(seed)
+        self.context_length = base.context_length
+        self.vocab_size = getattr(base, "vocab_size", None)
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        out = np.zeros((len(texts), L), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = self.base.encode(text)
+            keep = L - 2
+            if len(ids) > keep:
+                if self.reduction in ("random", "shuffle"):
+                    idx = self.rng.permutation(len(ids))[:keep]
+                    if self.reduction == "random":
+                        idx = np.sort(idx)
+                    ids = [ids[j] for j in idx]
+                else:  # simple: random contiguous crop
+                    start = int(self.rng.integers(0, len(ids) - keep + 1))
+                    ids = ids[start : start + keep]
+            row = [self.base.sot_token] + list(ids) + [self.base.eot_token]
+            out[i, : len(row)] = row
+        return out
+
+
 class HFTokenizer:
     """HuggingFace tokenizer adapter (ref: tokenizer.py:405-460)."""
 

@@ -78,11 +78,14 @@ class MultiHeadAttention(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     impl: str = "einsum"
+    qk_norm: bool = False  # ref: transformer.py:98,126 — LN over head_dim
+    scaled_cosine: bool = False  # ref: transformer.py:99,134 — cosine attn
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
+        assert not (self.qk_norm and self.scaled_cosine)
         B, L, D = x.shape
         head_dim = self.width // self.heads
         qkv = nn.Dense(
@@ -94,6 +97,29 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(B, L, self.heads, head_dim)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        if self.qk_norm:
+            q = LayerNorm(dtype=self.dtype, name="ln_q")(q)
+            k = LayerNorm(dtype=self.dtype, name="ln_k")(k)
+        if self.scaled_cosine:
+            # cosine attention with learnable per-head temperature
+            q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(self.dtype)
+            k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(self.dtype)
+            logit_scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(jnp.log(10.0)),
+                (self.heads, 1, 1),
+                jnp.float32,
+            )
+            scale_per_head = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            attn = attn * scale_per_head[None]
+            if attn_mask is not None:
+                attn = attn + attn_mask.astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
+            return nn.Dense(
+                self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
+            )(out)
         if self.impl == "xla":
             bias = None
             if attn_mask is not None:
@@ -126,6 +152,8 @@ class ResidualBlock(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     attn_impl: str = "einsum"
+    qk_norm: bool = False
+    scaled_cosine: bool = False
 
     @nn.compact
     def __call__(
@@ -143,7 +171,8 @@ class ResidualBlock(nn.Module):
         h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1")(x)
         h = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
-            impl=self.attn_impl, name="attn",
+            impl=self.attn_impl, qk_norm=self.qk_norm,
+            scaled_cosine=self.scaled_cosine, name="attn",
         )(h, attn_mask)
         x = x + scaled(h, "ls_1")
         h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_2")(x)
@@ -171,6 +200,8 @@ class Transformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "einsum"
+    qk_norm: bool = False
+    scaled_cosine: bool = False
 
     @nn.compact
     def __call__(
@@ -189,6 +220,8 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 act=self.act,
                 attn_impl=self.attn_impl,
+                qk_norm=self.qk_norm,
+                scaled_cosine=self.scaled_cosine,
                 name=f"resblocks_{i}",
             )(x, attn_mask)
         return x
@@ -335,6 +368,8 @@ class VisionTransformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "einsum"
+    qk_norm: bool = False
+    scaled_cosine: bool = False
     # 'reshape': non-overlapping patchify as reshape+matmul — a single plain
     # MXU GEMM fwd AND bwd (conv lowering pays im2col/grad-conv overhead on
     # TPU). 'conv': nn.Conv. Both share the same HWIO kernel param.
@@ -411,6 +446,8 @@ class VisionTransformer(nn.Module):
             act=self.act,
             remat=self.remat,
             attn_impl=self.attn_impl,
+            qk_norm=self.qk_norm,
+            scaled_cosine=self.scaled_cosine,
             name="transformer",
         )(x)
 
@@ -482,6 +519,8 @@ class TextTransformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "einsum"
+    qk_norm: bool = False
+    scaled_cosine: bool = False
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
@@ -524,6 +563,8 @@ class TextTransformer(nn.Module):
             act=self.act,
             remat=self.remat,
             attn_impl=self.attn_impl,
+            qk_norm=self.qk_norm,
+            scaled_cosine=self.scaled_cosine,
             name="transformer",
         )(x, attn_mask)
 

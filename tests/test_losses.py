@@ -311,3 +311,27 @@ def test_ring_spatial_loss_matches_global(feats):
     gi2, gt2 = jax.grad(global_loss, argnums=(0, 1))(jnp.asarray(img), jnp.asarray(txt))
     np.testing.assert_allclose(np.asarray(gi), np.asarray(gi2), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt_), np.asarray(gt2), rtol=1e-4, atol=1e-6)
+
+
+def test_distill_clip_loss(feats):
+    from spatial_clip_tpu.losses.contrastive import distill_clip_loss
+
+    img, txt, *_ = feats
+    rng = np.random.default_rng(3)
+    t_img = _unit(rng, len(img), img.shape[1])
+    t_txt = _unit(rng, len(txt), txt.shape[1])
+    out = distill_clip_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.float32(10.0),
+        jnp.asarray(t_img), jnp.asarray(t_txt), jnp.float32(10.0),
+    )
+    base = clip_loss(jnp.asarray(img), jnp.asarray(txt), jnp.float32(10.0))
+    assert float(out["contrastive_loss"]) > float(base["contrastive_loss"])
+    assert np.isfinite(float(out["distill_loss"]))
+    # teacher == student features -> distill term = teacher entropy; grads flow
+    g = jax.grad(
+        lambda i: distill_clip_loss(
+            i, jnp.asarray(txt), jnp.float32(10.0),
+            jnp.asarray(t_img), jnp.asarray(t_txt), jnp.float32(10.0),
+        )["contrastive_loss"]
+    )(jnp.asarray(img))
+    assert np.isfinite(np.asarray(g)).all()

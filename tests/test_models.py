@@ -177,3 +177,34 @@ def test_modified_resnet_tower():
     g = jax.grad(f)(bundle.params)
     assert float(np.abs(g["visual"]["bn1"]["mean"]).sum()) == 0.0
     assert float(np.abs(g["visual"]["bn1"]["scale"]).sum()) > 0.0
+
+
+def test_qk_norm_and_scaled_cosine_variants():
+    for override in ({"qk_norm": True}, {"scaled_cosine": True}):
+        bundle = create_model(
+            "ViT-Test", precision="fp32",
+            vision_cfg={"image_size": 32, "layers": 2, "width": 32,
+                        "patch_size": 16, "heads": 2, **override},
+        )
+        images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        out = bundle(images=images)
+        assert np.isfinite(np.asarray(out["image_features"])).all()
+    # scaled-cosine creates a per-head temperature param
+    flat = jax.tree_util.tree_leaves_with_path(bundle.params)
+    assert any("logit_scale" in jax.tree_util.keystr(p) and "attn" in jax.tree_util.keystr(p)
+               for p, _ in flat)
+
+
+def test_reduction_tokenizer():
+    from spatial_clip_tpu.models.tokenizer import ReductionTokenizer
+
+    base = GeneTokenizer([f"G{i}" for i in range(30)], context_length=10)
+    text = " ".join(f"G{i}" for i in range(30))  # overflows context
+    for mode in ("random", "shuffle", "simple"):
+        tok = ReductionTokenizer(base, reduction=mode, seed=0)
+        ids = tok([text])
+        assert ids.shape == (1, 10)
+        assert ids[0, 0] == base.SOT and base.EOT in ids[0]
+        # 8 kept gene tokens, all valid ids
+        kept = ids[0, 1:9]
+        assert ((kept >= 4) & (kept < 34)).all()
