@@ -94,6 +94,19 @@ class CLIP(nn.Module):
                 norm_eps=g.norm_eps,
                 dtype=self.dtype,
             )
+        elif self.cfg.text_cfg.hf_config is not None or self.cfg.text_cfg.hf_model_name:
+            from spatial_clip_tpu.models.hf_model import HFTextTower
+
+            t = self.cfg.text_cfg
+            self.text = HFTextTower(
+                output_dim=self.cfg.embed_dim,
+                arch=t.hf_model_arch,
+                hf_config=t.hf_config,
+                pooler_type=t.hf_pooler_type,
+                proj_type=t.hf_proj_type,
+                pad_id=t.pad_id,
+                dtype=self.dtype,
+            )
         else:
             t = self.cfg.text_cfg
             self.text = TextTransformer(

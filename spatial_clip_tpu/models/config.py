@@ -79,6 +79,12 @@ class TextCfg:
     proj_bias: bool = False
     norm_eps: float = 1e-5
     hf_tokenizer_name: Optional[str] = None
+    # HF text tower (ref: model.py CLIPTextCfg hf_model_name/pooler/proj)
+    hf_model_name: Optional[str] = None  # hub id (pretrained; needs network)
+    hf_model_arch: str = "bert"
+    hf_config: Optional[Dict[str, Any]] = None  # offline local config kwargs
+    hf_pooler_type: str = "mean_pooler"
+    hf_proj_type: str = "linear" 
 
 
 @dataclass

@@ -1,0 +1,88 @@
+"""HuggingFace text encoder tower (ref: src/open_clip/hf_model.py:96-193
+``HFTextEncoder`` + pooler variants :46-93, arch maps hf_configs.py).
+
+Wraps a transformers Flax module (BERT/RoBERTa-family) as the text tower:
+pooler types ``cls_pooler`` / ``mean_pooler`` / ``last`` / ``max_pooler``
+and a linear or MLP projection to the CLIP embedding space. Pretrained hub
+weights require network access (``from_pretrained``); offline construction
+uses a local config (``hf_config`` dict) — this keeps the tower fully
+testable in airgapped environments.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ARCH_TO_MODULE = {
+    "bert": ("transformers.models.bert.modeling_flax_bert", "FlaxBertModule",
+             "transformers", "BertConfig"),
+    "roberta": ("transformers.models.roberta.modeling_flax_roberta",
+                "FlaxRobertaModule", "transformers", "RobertaConfig"),
+    "xlm-roberta": (
+        "transformers.models.xlm_roberta.modeling_flax_xlm_roberta",
+        "FlaxXLMRobertaModule", "transformers", "XLMRobertaConfig",
+    ),
+}
+
+
+def _load_arch(arch: str):
+    import importlib
+
+    mod_path, mod_name, cfg_mod, cfg_name = _ARCH_TO_MODULE[arch]
+    module_cls = getattr(importlib.import_module(mod_path), mod_name)
+    config_cls = getattr(importlib.import_module(cfg_mod), cfg_name)
+    return module_cls, config_cls
+
+
+class HFTextTower(nn.Module):
+    """Text tower backed by a transformers Flax encoder."""
+
+    output_dim: int
+    arch: str = "bert"
+    hf_config: Optional[Dict[str, Any]] = None  # local config kwargs
+    pooler_type: str = "mean_pooler"  # cls_pooler | mean_pooler | max_pooler | last
+    proj_type: str = "linear"  # linear | mlp
+    pad_id: int = 0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        module_cls, config_cls = _load_arch(self.arch)
+        cfg = config_cls(**(self.hf_config or {}))
+        self.hf = module_cls(cfg, dtype=self.dtype)
+        self.hidden_size = cfg.hidden_size
+        if self.proj_type == "mlp":
+            hidden = (self.hidden_size + self.output_dim) // 2
+            self.proj1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+            self.proj2 = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+        else:
+            self.proj1 = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+            self.proj2 = None
+
+    def __call__(self, text: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        attn_mask = (text != self.pad_id).astype(jnp.int32)
+        token_type = jnp.zeros_like(text)
+        positions = jnp.broadcast_to(
+            jnp.arange(text.shape[1])[None], text.shape
+        )
+        out = self.hf(
+            text, attn_mask, token_type, positions,
+            deterministic=deterministic,
+        )
+        hidden = out.last_hidden_state  # (B, L, H)
+        maskf = attn_mask.astype(jnp.float32)[..., None]
+        if self.pooler_type == "cls_pooler":
+            pooled = hidden[:, 0]
+        elif self.pooler_type == "max_pooler":
+            pooled = jnp.where(maskf > 0, hidden, -jnp.inf).max(axis=1)
+        elif self.pooler_type == "last":
+            last_idx = attn_mask.sum(axis=1) - 1
+            pooled = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+        else:  # mean_pooler
+            pooled = (hidden * maskf).sum(axis=1) / jnp.maximum(maskf.sum(axis=1), 1.0)
+        x = self.proj1(pooled)
+        if self.proj2 is not None:
+            x = self.proj2(nn.gelu(x))
+        return x

@@ -208,3 +208,22 @@ def test_reduction_tokenizer():
         # 8 kept gene tokens, all valid ids
         kept = ids[0, 1:9]
         assert ((kept >= 4) & (kept < 34)).all()
+
+
+def test_hf_text_tower_offline():
+    """HF (Flax BERT) text tower built from a local config — no network."""
+    hf_cfg = {"vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 2,
+              "num_attention_heads": 2, "intermediate_size": 64,
+              "max_position_embeddings": 32}
+    bundle = create_model(
+        "ViT-Test", precision="fp32",
+        text_cfg={"context_length": 16, "vocab_size": 512,
+                  "hf_config": hf_cfg, "hf_pooler_type": "mean_pooler"},
+    )
+    images = np.zeros((2, 32, 32, 3), dtype=np.float32)
+    text = np.ones((2, 16), dtype=np.int32)
+    out = bundle(images=images, text=text)
+    assert out["text_features"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["text_features"], axis=-1), 1.0, rtol=1e-5
+    )
