@@ -62,9 +62,30 @@ class SyntheticSpatialDataset:
             alphas.append(0.0)
         return ids, alphas
 
+    def _render_tile(self, rng, gene_ranks) -> "np.ndarray":
+        """Tile whose appearance is a deterministic function of the top
+        expressed genes (sinusoidal gratings keyed by gene id) plus noise —
+        so image<->sentence correspondence is LEARNABLE and val retrieval
+        measures generalization, not memorization."""
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / max(s, 1)
+        img = np.zeros((s, s, 3), np.float32)
+        for rank, g in enumerate(gene_ranks[:6]):
+            g = int(g)
+            freq = 1.0 + (g % 7)
+            angle = (g % 13) / 13.0 * np.pi
+            phase = (g % 29) / 29.0 * 2 * np.pi
+            wave = np.sin(
+                2 * np.pi * freq * (np.cos(angle) * xx + np.sin(angle) * yy) + phase
+            )
+            img[:, :, g % 3] += wave * (1.0 - 0.12 * rank)
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+        noise = rng.normal(0, 0.05, img.shape)
+        return np.clip((img + noise) * 255, 0, 255).astype(np.uint8)
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
-        img = rng.integers(0, 255, (self.image_size, self.image_size, 3), dtype=np.uint8)
+        img = self._render_tile(rng, self._gene_ranks[idx])
         sentence = " ".join(_SYNTH_GENES[g] for g in self._gene_ranks[idx])
         if self.preprocess_fn is not None:
             image = self.preprocess_fn(img)

@@ -180,5 +180,13 @@ def load_model_config(model_name: str) -> Dict[str, Any]:
 
 def resolve_clip_cfg(model_name: str, **overrides) -> CLIPCfg:
     raw = load_model_config(model_name)
-    raw.update(overrides)
+    for key, value in overrides.items():
+        if (
+            key in ("vision_cfg", "text_cfg", "gene_cfg", "multimodal_cfg")
+            and isinstance(value, dict)
+            and isinstance(raw.get(key), dict)
+        ):
+            raw[key] = {**raw[key], **value}  # merge, don't replace
+        else:
+            raw[key] = value
     return CLIPCfg.from_dict(raw)

@@ -64,3 +64,19 @@ def test_train_clip_loss_variant(tmp_path):
     cfg = _smoke_cfg(tmp_path, ("loss=clip",))
     value, _ = train_entry.train(cfg)
     assert np.isfinite(value)
+
+
+def test_gene_tokenizer_drives_text_vocab(tmp_path):
+    """global_hvg_path -> GeneTokenizer; the text tower's vocab must match."""
+    hvg = tmp_path / "hvgs.txt"
+    hvg.write_text("\n".join(f"GENE{i}" for i in range(300)))
+    cfg = _smoke_cfg(tmp_path, (f"model.global_hvg_path={hvg}",))
+    value, objects = train_entry.train(cfg)
+    bundle = objects["bundle"]
+    tok = objects["datamodule"].tokenizer
+    assert bundle.cfg.text_cfg.vocab_size == tok.vocab_size
+    assert (
+        bundle.params["text"]["token_embedding"]["embedding"].shape[0]
+        == tok.vocab_size
+    )
+    assert np.isfinite(value)

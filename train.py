@@ -35,20 +35,29 @@ def build_model(cfg: Dict[str, Any]):
     mcfg = dict(cfg["model"])
     tok_cfg = mcfg.pop("tokenizer", None) or {}
     hvg = mcfg.pop("global_hvg_path", None)
+    model_name = mcfg.pop("model_name")
+    gene_vocab = tok_cfg.get("gene_vocab") or (hvg if hvg and Path(hvg).exists() else None)
+    tokenizer = get_tokenizer(
+        model_name,
+        gene_vocab=gene_vocab,
+        bpe_path=tok_cfg.get("bpe_path"),
+    )
+    overrides = {}
+    if gene_vocab is not None and hasattr(tokenizer, "vocab_size"):
+        # the gene tokenizer defines the closed vocab — the text tower's
+        # embedding table must match it, not the JSON default
+        base_text = dict(mcfg.pop("text_cfg", None) or {})
+        base_text["vocab_size"] = int(tokenizer.vocab_size)
+        overrides["text_cfg"] = base_text
     bundle, pp_train, pp_val = create_model_and_transforms(
-        mcfg.pop("model_name"),
+        model_name,
         pretrained=mcfg.pop("pretrained", None),
         precision=mcfg.pop("precision", "bf16"),
         aug_cfg=mcfg.pop("aug_cfg", None),
         remat=mcfg.pop("remat", False),
         force_quick_gelu=mcfg.pop("force_quick_gelu", False),
         seed=int(cfg.get("seed", 0)),
-    )
-    gene_vocab = tok_cfg.get("gene_vocab") or (hvg if hvg and Path(hvg).exists() else None)
-    tokenizer = get_tokenizer(
-        bundle.model_name,
-        gene_vocab=gene_vocab,
-        bpe_path=tok_cfg.get("bpe_path"),
+        **overrides,
     )
     return bundle, pp_train, pp_val, tokenizer, hvg
 
