@@ -80,3 +80,24 @@ def test_gene_tokenizer_drives_text_vocab(tmp_path):
         == tok.vocab_size
     )
     assert np.isfinite(value)
+
+
+def test_eval_zero_shot_pcc(tmp_path):
+    """eval.py computes zero-shot gene-expression PCC when an HVG bank exists."""
+    from spatial_clip_tpu.data.datasets.synthetic import synthetic_gene_list
+
+    hvg = tmp_path / "hvgs.txt"
+    hvg.write_text("\n".join(synthetic_gene_list()[:100]))
+    eval_cfg = compose(
+        CONFIG_DIR,
+        "eval",
+        [
+            "experiment=smoke_synthetic",
+            f"paths.root_dir={tmp_path}",
+            f"model.global_hvg_path={hvg}",
+            "data.dataset_format_kwargs.num_samples=64",
+        ],
+    )
+    metrics = eval_entry.evaluate(eval_cfg)
+    assert "test/zero_shot_pcc" in metrics
+    assert -1.0 <= metrics["test/zero_shot_pcc"] <= 1.0
