@@ -71,6 +71,7 @@ def parse_args(args=None) -> argparse.Namespace:
                    choices=["cosine", "const", "const-cooldown"])
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1)
+    p.add_argument("--accum-mode", choices=["cached", "simple"], default="cached")
     # loss
     p.add_argument("--use-spatial-loss", action="store_true")
     p.add_argument("--local-loss", action="store_true")
@@ -214,6 +215,7 @@ def main(args=None):
         warmup_steps=min(args.warmup, max(total_steps // 10, 1)),
         total_steps=total_steps,
         grad_accum=args.accum_freq,
+        grad_accum_mode=args.accum_mode,
         seed=args.seed,
         log_every=args.log_every_n_steps,
         ckpt_dir=str(out_dir / "checkpoints"),

@@ -82,6 +82,7 @@ def build_trainer(cfg, bundle, total_steps: int, mesh=None):
         warmup_steps=int(scfg.get("warmup_steps", 500)),
         total_steps=max(int(total_steps), 1),
         grad_accum=int(tcfg.get("grad_accum", 1)),
+        grad_accum_mode=tcfg.get("grad_accum_mode", "cached"),
         augment=bool(tcfg.get("augment", True)) and aug is not None,
         color_jitter=(aug or {}).get("color_jitter"),
         seed=int(cfg.get("seed", 42)),
