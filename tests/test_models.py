@@ -227,3 +227,38 @@ def test_hf_text_tower_offline():
     np.testing.assert_allclose(
         np.linalg.norm(out["text_features"], axis=-1), 1.0, rtol=1e-5
     )
+
+
+def test_simple_tokenizer_bpe_algorithm(tmp_path):
+    """Byte-BPE with a tiny synthetic merges file: merges apply by rank,
+    encode/decode round-trips, special tokens wrap the sequence."""
+    import gzip
+
+    from spatial_clip_tpu.models.tokenizer import SimpleTokenizer
+
+    merges = ["#version tiny", "h e", "l l", "he ll", "hell o</w>", "o k</w>"]
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("\n".join(merges) + "\n")
+    tok = SimpleTokenizer(bpe_path=str(path), context_length=12, n_merges=5)
+    # 256 bytes + 256 </w> + 5 merges + 2 specials
+    assert tok.vocab_size == 256 * 2 + 5 + 2
+    ids = tok.encode("hello")
+    assert len(ids) == 1  # fully merged to 'hello</w>'
+    assert tok.decode(ids).strip() == "hello"
+    ids2 = tok.encode("ok")
+    assert len(ids2) == 1
+    assert tok.decode(tok.encode("hello ok")).split() == ["hello", "ok"]
+    arr = tok(["hello ok"])
+    assert arr.shape == (1, 12)
+    assert arr[0, 0] == tok.sot_token
+    assert arr[0, 3] == tok.eot_token
+    # unknown words fall back to byte/word-end symbols, no crash
+    assert tok.decode(tok.encode("xyz")).strip() == "xyz"
+
+
+def test_simple_tokenizer_missing_vocab_raises():
+    from spatial_clip_tpu.models.tokenizer import SimpleTokenizer
+
+    with pytest.raises(FileNotFoundError):
+        SimpleTokenizer(bpe_path="/nonexistent/vocab.gz")
