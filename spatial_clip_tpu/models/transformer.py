@@ -224,6 +224,10 @@ class Transformer(nn.Module):
                 scaled_cosine=self.scaled_cosine,
                 name=f"resblocks_{i}",
             )(x, attn_mask)
+            # expose per-block tokens for probing / forward_intermediates
+            # (ref: model.py forward_intermediates, utils.feature_take_indices);
+            # retrieved via apply(..., mutable=['intermediates'])
+            self.sow("intermediates", f"block_{i}", x)
         return x
 
 

@@ -76,3 +76,11 @@ def profile_model(
         cost = xla_cost_analysis(train_fwd_bwd, bundle.params, images, text)
         result["train_gflops"] = round(cost.get("flops", 0) / batch_size / 1e9, 3)
     return result
+
+
+def feature_take_indices(num_blocks: int, indices) -> list:
+    """Normalize block-index specs (ref: src/open_clip/utils.py:94
+    feature_take_indices): int n -> last n blocks; negatives wrap."""
+    if isinstance(indices, int):
+        return list(range(num_blocks - indices, num_blocks))
+    return [i if i >= 0 else num_blocks + i for i in indices]

@@ -262,3 +262,21 @@ def test_simple_tokenizer_missing_vocab_raises():
 
     with pytest.raises(FileNotFoundError):
         SimpleTokenizer(bpe_path="/nonexistent/vocab.gz")
+
+
+def test_forward_intermediates(tiny_bundle):
+    """Per-block tokens exposed through the 'intermediates' collection
+    (ref: model.py forward_intermediates)."""
+    images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    out, inter = tiny_bundle.model.apply(
+        {"params": tiny_bundle.params}, images, None,
+        mutable=["intermediates"],
+    )
+    blocks = inter["intermediates"]["visual"]["transformer"]
+    assert set(blocks) == {"block_0", "block_1"}
+    assert blocks["block_0"][0].shape == (2, 5, 32)  # 4 patches + cls
+
+    from spatial_clip_tpu.ops.flops import feature_take_indices
+
+    assert feature_take_indices(12, 3) == [9, 10, 11]
+    assert feature_take_indices(12, [-1, 0]) == [11, 0]
