@@ -31,3 +31,49 @@ def test_cli_trainer_end_to_end(tmp_path):
     assert (out / "results.json").exists()
     assert json.loads((out / "results.json").read_text())["loss"] == metrics["loss"]
     assert any((out / "checkpoints").glob("step_*"))
+
+
+def test_embed_cli(tmp_path):
+    """Embedding export over a generated shard dataset."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).parents[1] / "scripts"))
+    from tests.test_preprocess import _make_raw_hest
+    from spatial_clip_tpu.data.preprocessing.entry import run as preprocess_run
+    from spatial_clip_tpu.cli import embed
+
+    raw, genes = _make_raw_hest(tmp_path, n_spots=5, n_genes=6)
+    hvg = tmp_path / "hvgs.txt"
+    hvg.write_text("\n".join(genes))
+    hgnc = tmp_path / "hgnc.txt"
+    hgnc.write_text("symbol\tstatus\n" + "\n".join(f"{g}\tApproved" for g in genes))
+    preprocess_run({
+        "dataset": {"key": "e", "description": ""},
+        "source": {"raw_data_dir": str(raw), "hgnc_path": str(hgnc),
+                   "global_hvg_path": str(hvg)},
+        "intermediate_dir": str(tmp_path / "inter"),
+        "output_dir": str(tmp_path / "out"),
+        "run": {"stage": "full"},
+        "params": {
+            "general": {"batch_key": "sample_id", "species_filter": None},
+            "samples_to_exclude": [],
+            "gene_alignment": {"keep_status": ["Approved"], "keep_locus_types": None},
+            "sentence_generation": {"n_top_genes": 4},
+            "sharding": {"max_samples_per_shard": 10},
+            "tiling": {"tile_size": 32},
+        },
+        "performance": {"max_workers": 1, "limit_samples": -1},
+    })
+    out = tmp_path / "emb.npz"
+    stats = embed.main([
+        "--model", "ViT-Test", "--precision", "fp32",
+        "--data", str(tmp_path / "out"), "--dataset-type", "shards",
+        "--batch-size", "4", "--workers", "0",
+        "--gene-vocab", str(hvg), "--out", str(out),
+    ])
+    assert stats["n"] == 10
+    data = np.load(out)
+    assert data["image_embeddings"].shape == (10, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(data["text_embeddings"], axis=1), 1.0, rtol=1e-4
+    )
+    assert len(set(data["tile_ids"].tolist())) == 10
