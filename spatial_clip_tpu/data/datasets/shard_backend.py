@@ -89,7 +89,7 @@ class ShardedSpatialDataset:
                 members.setdefault(stem, {})[ext] = (str(tp), *loc)
         for key in sorted(members):
             grp = members[key]
-            if "png" in grp and "txt" in grp:
+            if ("png" in grp or "npy" in grp) and "txt" in grp:
                 self._entries.append({"key": key, **grp})
         if not self._entries:
             raise ValueError(f"no samples found under {self.dataset_root}")
@@ -166,7 +166,11 @@ class ShardedSpatialDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         e = self._entries[idx]
-        img = Image.open(io.BytesIO(self._read_bytes(e["png"]))).convert("RGB")
+        if "npy" in e:  # raw uint8 tile: no decode cost
+            arr = np.load(io.BytesIO(self._read_bytes(e["npy"])), allow_pickle=False)
+            img = arr if self.preprocess_fn is None else Image.fromarray(arr)
+        else:
+            img = Image.open(io.BytesIO(self._read_bytes(e["png"]))).convert("RGB")
         image = self.preprocess_fn(img) if self.preprocess_fn else np.asarray(img)
         sentence = self._read_bytes(e["txt"]).decode("utf-8")
         if self.tokenizer is not None:

@@ -259,3 +259,42 @@ def test_full_pipeline_real_integration(tmp_path):
     item = ds[0]
     assert item["image"].shape == (32, 32, 3)
     assert len(item["neighbor_tile_ids"]) == 3
+
+
+def test_stage3_npy_tile_format(tmp_path):
+    """tile_format=npy stores raw uint8 tiles; the shard backend reads them."""
+    raw, genes = _make_raw_hest(tmp_path, sample_ids=("S1",), n_spots=4, n_genes=5)
+    hvg = tmp_path / "hvgs.txt"
+    hvg.write_text("\n".join(genes))
+    hgnc = tmp_path / "hgnc.txt"
+    hgnc.write_text("symbol\tstatus\n" + "\n".join(f"{g}\tApproved" for g in genes))
+    cfg = {
+        "dataset": {"key": "npy_ds", "description": ""},
+        "source": {"raw_data_dir": str(raw), "hgnc_path": str(hgnc),
+                   "global_hvg_path": str(hvg)},
+        "intermediate_dir": str(tmp_path / "inter"),
+        "output_dir": str(tmp_path / "out"),
+        "run": {"stage": "full"},
+        "params": {
+            "general": {"batch_key": "sample_id", "species_filter": None},
+            "samples_to_exclude": [],
+            "gene_alignment": {"keep_status": ["Approved"], "keep_locus_types": None},
+            "sentence_generation": {"n_top_genes": 3},
+            "sharding": {"max_samples_per_shard": 10},
+            "tiling": {"tile_size": 16, "tile_format": "npy"},
+        },
+        "performance": {"max_workers": 1, "limit_samples": -1},
+    }
+    from spatial_clip_tpu.data.preprocessing.entry import run
+
+    stats = run(cfg)
+    assert stats["total_processed"] == 4
+    from spatial_clip_tpu.data.datasets import ShardedSpatialDataset
+
+    ds = ShardedSpatialDataset(
+        dataset_root=tmp_path / "out", split="t", sample_ids=["S1"],
+        k_neighbors=2, rebuild_cache=True,
+    )
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 3)
+    assert item["image"].dtype == np.uint8
