@@ -59,19 +59,46 @@ class CheckpointManager:
         ckpt_dir: str,
         keep: int = 3,
         save_most_recent: bool = True,
+        async_save: bool = True,
     ):
         self.dir = Path(ckpt_dir)
         self.keep = keep
         self.save_most_recent = save_most_recent
+        self.async_save = async_save
+        self._pool = None
+        self._pending = None
         self.dir.mkdir(parents=True, exist_ok=True)
 
     def _is_writer(self) -> bool:
         return jax.process_index() == 0
 
     def save(self, state: Dict[str, Any], step: int, metrics: Optional[Dict] = None):
+        """Checkpoint ``state`` at ``step``. With ``async_save`` the device->
+        host copy happens synchronously (cheap) and the serialization+fsync
+        runs on a background thread so the train loop never blocks on disk
+        (orbax-async-style; the reference blocks on torch.save)."""
         if not self._is_writer():
             return
         host_state = jax.tree.map(np.asarray, state)
+        if self.async_save:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=1)
+            self.wait()  # at most one write in flight
+            self._pending = self._pool.submit(
+                self._write, host_state, step, metrics
+            )
+            return
+        self._write(host_state, step, metrics)
+
+    def wait(self):
+        """Block until any in-flight async save completes."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+
+    def _write(self, host_state: Dict[str, Any], step: int, metrics: Optional[Dict]):
         target = self.dir / f"step_{step}"
         tmp = self.dir / f".tmp_step_{step}"
         if tmp.exists():
@@ -87,18 +114,23 @@ class CheckpointManager:
         self._prune()
         log.info("Saved checkpoint %s", target)
 
-    def _prune(self):
-        steps = self.all_steps()
-        for s in steps[: max(0, len(steps) - self.keep)]:
-            shutil.rmtree(self.dir / f"step_{s}", ignore_errors=True)
-
-    def all_steps(self):
+    def _scan_steps(self):
         steps = []
         for p in self.dir.iterdir():
             m = _STEP_RE.search(p.name)
             if m:
                 steps.append(int(m.group(1)))
         return sorted(steps)
+
+    def _prune(self):
+        # runs on the writer thread — must NOT wait() on itself
+        steps = self._scan_steps()
+        for s in steps[: max(0, len(steps) - self.keep)]:
+            shutil.rmtree(self.dir / f"step_{s}", ignore_errors=True)
+
+    def all_steps(self):
+        self.wait()  # reads must observe in-flight async writes
+        return self._scan_steps()
 
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
@@ -107,6 +139,7 @@ class CheckpointManager:
     def restore(self, target_state: Dict[str, Any], step: Optional[int] = None):
         """Restore into the structure of ``target_state``; step=None -> latest
         (the reference's ``--resume latest``, main.py:136-168)."""
+        self.wait()
         if step is None:
             step = self.latest_step()
             if step is None:

@@ -132,6 +132,20 @@ def make_loggers(spec: str, out_dir: str) -> MultiLogger:
             out.append(CSVLogger(os.path.join(out_dir, "metrics.csv")))
         elif name == "jsonl":
             out.append(JSONLLogger(os.path.join(out_dir, "results.jsonl")))
+        elif name == "wandb":
+            try:
+                import wandb  # noqa: F401
+
+                class _Wandb:
+                    def __init__(self, out):
+                        wandb.init(project="spatial-clip-tpu", dir=out)
+
+                    def log(self, step, metrics):
+                        wandb.log(metrics, step=step)
+
+                out.append(_Wandb(out_dir))
+            except ImportError:
+                logging.getLogger(__name__).warning("wandb unavailable; skipped")
         elif name in ("tensorboard", "tb"):
             try:
                 out.append(TensorBoardLogger(os.path.join(out_dir, "tb")))

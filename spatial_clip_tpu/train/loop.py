@@ -461,6 +461,8 @@ class Trainer:
                             break
             if self.ckpt:
                 self.ckpt.save(jax.tree.map(np.asarray, state), int(state.step), last)
+        if self.ckpt:
+            self.ckpt.wait()  # flush the in-flight async save before returning
         return state, last
 
     # ------------------------------------------------------------------ eval
