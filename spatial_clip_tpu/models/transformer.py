@@ -199,6 +199,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     remat: bool = False
+    remat_policy: str = "nothing"  # nothing (full recompute) | dots (keep GEMMs)
     attn_impl: str = "einsum"
     qk_norm: bool = False
     scaled_cosine: bool = False
@@ -209,7 +210,12 @@ class Transformer(nn.Module):
     ) -> jnp.ndarray:
         block_cls = ResidualBlock
         if self.remat:
-            block_cls = nn.remat(ResidualBlock, static_argnums=())
+            policy = (
+                jax.checkpoint_policies.checkpoint_dots
+                if self.remat_policy == "dots"
+                else None
+            )
+            block_cls = nn.remat(ResidualBlock, static_argnums=(), policy=policy)
         for i in range(self.layers):
             x = block_cls(
                 width=self.width,
