@@ -130,9 +130,13 @@ class MultiHeadAttention(nn.Module):
             out = out.reshape(B, L, self.width)
         else:
             scale = head_dim ** -0.5
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+            # 'einsum' keeps fp32 softmax stats; 'einsum_bf16' runs the whole
+            # attention in compute dtype (opt-in; ~bandwidth win, small
+            # numerics change at seq<=77)
+            acc = self.dtype if self.impl == "einsum_bf16" else jnp.float32
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(acc)
             if attn_mask is not None:
-                attn = attn + attn_mask.astype(jnp.float32)
+                attn = attn + attn_mask.astype(acc)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
         return nn.Dense(
