@@ -232,6 +232,70 @@ def coca_caption_loss(
     return -(picked * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def beam_search_generate(
+    model: CoCa,
+    params,
+    images: jnp.ndarray,
+    sot_token: int,
+    eot_token: int,
+    max_len: int = 30,
+    beam_size: int = 4,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Beam-search caption decoding (ref: coca_model.py:413-582
+    ``_generate_beamsearch``) as a single jittable ``lax.scan`` — beams are a
+    static batch dimension, candidate selection is a top-k over beam x vocab,
+    finished beams keep their score and emit padding."""
+    NEG = -1e9
+    B = images.shape[0]
+    ctx_len = model.cfg.text_cfg.context_length
+    vocab = model.cfg.text_cfg.vocab_size
+    image_tokens = model.apply(
+        {"params": params}, images, method=CoCa._encode_image_full
+    )[1]
+    # tile image context across beams: (B*beam, Lq, D)
+    tiled = jnp.repeat(image_tokens, beam_size, axis=0)
+
+    def apply_decode(text_in):
+        return model.apply({"params": params}, text_in, tiled, method=CoCa.decode)
+
+    seq0 = jnp.zeros((B, beam_size, ctx_len), jnp.int32).at[:, :, 0].set(sot_token)
+    scores0 = jnp.where(
+        jnp.arange(beam_size)[None, :] == 0, 0.0, NEG
+    ) * jnp.ones((B, 1))
+    done0 = jnp.zeros((B, beam_size), bool)
+
+    def step(carry, i):
+        seq, scores, done = carry
+        logits = apply_decode(seq.reshape(B * beam_size, ctx_len)[:, : ctx_len - 1])
+        logp = jax.nn.log_softmax(logits[:, i].astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, beam_size, vocab)
+        # finished beams: only a zero-cost pad continuation survives
+        pad_only = jnp.full((vocab,), NEG).at[0].set(0.0)
+        logp = jnp.where(done[:, :, None], pad_only[None, None, :], logp)
+        cand = scores[:, :, None] + logp  # (B, beam, V)
+        flat = cand.reshape(B, beam_size * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, beam_size)
+        beam_idx = top_idx // vocab
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        seq = jnp.take_along_axis(seq, beam_idx[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        seq = jax.lax.dynamic_update_slice(
+            seq, tok_idx[:, :, None], (0, 0, i + 1)
+        )
+        done = done | (tok_idx == eot_token)
+        return (seq, top_scores, done), None
+
+    (seq, scores, done), _ = jax.lax.scan(
+        step, (seq0, scores0, done0), jnp.arange(min(max_len, ctx_len - 1))
+    )
+    # length-penalized best beam (ref: coca_model.py length_penalty)
+    lengths = (seq != 0).sum(axis=-1).astype(jnp.float32)
+    norm = scores / jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    return jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
+
+
 def greedy_generate(
     model: CoCa,
     params,

@@ -54,3 +54,30 @@ def test_coca_greedy_generate(coca_bundle):
     assert seq.shape == (2, 16)
     assert (seq[:, 0] == 1).all()
     assert ((seq >= 0) & (seq < 512)).all()
+
+
+def test_coca_beam_search(coca_bundle):
+    import jax.numpy as jnp
+
+    from spatial_clip_tpu.models.coca import beam_search_generate, greedy_generate
+
+    rng = np.random.default_rng(3)
+    images = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    seq = beam_search_generate(
+        coca_bundle.model, coca_bundle.params, images,
+        sot_token=1, eot_token=2, max_len=6, beam_size=3,
+    )
+    seq = np.asarray(seq)
+    assert seq.shape == (2, 16)
+    assert (seq[:, 0] == 1).all()
+    assert ((seq >= 0) & (seq < 512)).all()
+    # beam-1 equals greedy
+    b1 = np.asarray(beam_search_generate(
+        coca_bundle.model, coca_bundle.params, images,
+        sot_token=1, eot_token=2, max_len=6, beam_size=1,
+    ))
+    g = np.asarray(greedy_generate(
+        coca_bundle.model, coca_bundle.params, images,
+        sot_token=1, eot_token=2, max_len=6,
+    ))
+    np.testing.assert_array_equal(b1[:, :7], g[:, :7])

@@ -78,3 +78,16 @@ def test_deep_merge():
 def test_delete_override():
     cfg = compose(CONFIG_DIR, "train", ["~optimized_metric"])
     assert "optimized_metric" not in cfg
+
+
+def test_all_experiments_compose_and_datamodule_instantiates():
+    """Config rot guard (ref pattern: dump tests/test_configs.py instantiates
+    every composed config)."""
+    from spatial_clip_tpu.config import instantiate
+
+    exp_dir = CONFIG_DIR / "experiment"
+    for f in sorted(exp_dir.glob("*.yaml")):
+        cfg = compose(CONFIG_DIR, "train", [f"experiment={f.stem}"])
+        dm = instantiate(cfg["data"])
+        assert hasattr(dm, "train_dataloader"), f.stem
+        assert cfg["loss"]["name"] in ("clip", "spatial", "siglip"), f.stem
