@@ -65,6 +65,7 @@ class DataLoader:
         collate_fn: Callable = collate_spatial,
         seed: int = 0,
         prefetch_batches: int = 2,
+        shard_by_process: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -74,10 +75,16 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.shard_by_process = shard_by_process
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard_by_process:
+            import jax
+
+            pc = jax.process_count()
+            n = len(range(jax.process_index(), n, pc)) if pc > 1 else n
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -89,9 +96,17 @@ class DataLoader:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
+            # all hosts derive the SAME permutation (detshuffle semantics,
+            # ref: data.py:242-271), then take disjoint strided slices
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
-        nb = len(self)
+        if self.shard_by_process:
+            import jax
+
+            pc, pi = jax.process_count(), jax.process_index()
+            if pc > 1:
+                idx = idx[pi::pc]  # strided split ~= DistributedSampler
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         return [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

@@ -156,3 +156,26 @@ def test_cached_accum_matches_full_batch_grads(tiny_bundle):
         if a.shape == ():  # logit_scale grad accumulates accum times (ref quirk)
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_training_determinism(tiny_bundle):
+    """Same seed + same data -> bitwise-same loss trajectory."""
+    from spatial_clip_tpu.losses import make_loss
+
+    def run():
+        cfg = TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=10,
+            augment=True, color_jitter=0.2, log_every=1, seed=123,
+        )
+        tr = Trainer(tiny_bundle, loss=make_loss("spatial"), config=cfg)
+        step = tr.make_train_step()
+        state = tr.init_state()
+        batch = next(iter(_make_data(n=8, batch=8)()))
+        db = tr._device_batch(batch)
+        out = []
+        for _ in range(3):
+            state, m = step(state, db)
+            out.append(float(m["loss"]))
+        return out
+
+    np.testing.assert_array_equal(run(), run())
