@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np  # noqa: E402
 
 
-def capture(batch: int, steps: int, out: str, model: str = "ViT-B-32"):
+def capture(batch: int, steps: int, out: str, model: str = "ViT-B-32", attn: str = "einsum"):
     import jax
 
     from spatial_clip_tpu import create_model
@@ -30,7 +30,7 @@ def capture(batch: int, steps: int, out: str, model: str = "ViT-B-32"):
     from spatial_clip_tpu.parallel.mesh import make_mesh
     from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
 
-    bundle = create_model(model, precision="bf16", seed=0)
+    bundle = create_model(model, precision="bf16", seed=0, attn_impl=attn)
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
         config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,
@@ -93,10 +93,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--out", default="/tmp/jaxtrace")
+    ap.add_argument("--attn", default="einsum")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args(argv)
     if not args.summarize_only:
-        capture(args.batch, args.steps, args.out, args.model)
+        capture(args.batch, args.steps, args.out, args.model, args.attn)
     return summarize(args.out, args.steps)
 
 

@@ -53,3 +53,11 @@ def test_tensor_parallel_forward_matches_replicated(tiny_bundle):
     img_ref, txt_ref = fwd(tiny_bundle.params, jnp.asarray(images), jnp.asarray(texts))
     np.testing.assert_allclose(np.asarray(img_tp), np.asarray(img_ref), rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(txt_tp), np.asarray(txt_ref), rtol=2e-5, atol=2e-6)
+
+
+def test_hybrid_mesh_single_slice():
+    from spatial_clip_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh()
+    assert mesh.shape["replica"] == 1
+    assert mesh.shape["data"] == 8
