@@ -111,6 +111,8 @@ def _detect_dataset_type(args) -> str:
         return args.dataset_type
     if not args.train_data:
         return "synthetic"
+    if " " in args.train_data.strip():
+        return "shards"  # '::'-weighted multi-source
     p = Path(args.train_data)
     if p.suffix == ".csv" or p.suffix == ".tsv":
         return "csv"
@@ -172,7 +174,36 @@ def main(args=None):
     dm.preprocess_fn = pp_train
     dm.preprocess_fn_val = pp_val
     dm.tokenizer = tokenizer
-    if fmt == "csv":
+    if dtype == "shards" and args.train_data and (" " in args.train_data.strip()):
+        # '::'-weighted multi-source syntax (ref: --train-data 'a::2 b::1')
+        from spatial_clip_tpu.data.datasets import (
+            ShardedSpatialDataset,
+            _resolve_sample_ids,
+        )
+        from spatial_clip_tpu.data.resampling import ResampledDataset, parse_weighted_spec
+
+        paths, weights = parse_weighted_spec(args.train_data)
+        sources = []
+        for root in paths:
+            root = Path(root)
+            sources.append(
+                ShardedSpatialDataset(
+                    dataset_root=root, split=args.train_split,
+                    sample_ids=_resolve_sample_ids(args.train_split, root),
+                    k_neighbors=args.k_neighbors,
+                    preprocess_fn=pp_train, tokenizer=tokenizer,
+                )
+            )
+        dm.data_train = ResampledDataset(sources, weights, seed=args.seed)
+        if args.val_data:
+            vroot = Path(args.val_data)
+            dm.data_val = ShardedSpatialDataset(
+                dataset_root=vroot, split=args.val_split,
+                sample_ids=_resolve_sample_ids(args.val_split, vroot),
+                k_neighbors=args.k_neighbors,
+                preprocess_fn=pp_val, tokenizer=tokenizer,
+            )
+    elif fmt == "csv":
         from spatial_clip_tpu.data.datasets.csv_backend import CsvDataset
 
         dm.data_train = CsvDataset(

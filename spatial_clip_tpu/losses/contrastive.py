@@ -324,6 +324,24 @@ def siglip_loss(
                 return acc + jnp.where(mask[i], neg, 0.0)
 
             loss = lax.fori_loop(0, n, body, loss)
+        elif dist_impl == "reduce":
+            # masked all_reduce materialization of the global text matrix
+            # (ref: loss.py `reduce` impl): each device contributes its block
+            # to a zero buffer; psum assembles it.
+            idx = lax.axis_index(axis_name)
+            buf = jnp.zeros((n,) + text_features.shape, text_features.dtype)
+            buf = buf.at[idx].set(text_features)
+            blocks = lax.psum(buf, axis_name)
+            mask = jnp.arange(n) != idx
+
+            def body(i, acc):
+                neg = _siglip_pair_loss(
+                    image_features, blocks[i], logit_scale, logit_bias,
+                    negative_only=True,
+                )
+                return acc + jnp.where(mask[i], neg, 0.0)
+
+            loss = lax.fori_loop(0, n, body, loss)
         elif dist_impl in ("shift", "bidir"):
             perm_fwd = [(i, (i + 1) % n) for i in range(n)]
             perm_bwd = [(i, (i - 1) % n) for i in range(n)]

@@ -335,3 +335,21 @@ def test_distill_clip_loss(feats):
         )["contrastive_loss"]
     )(jnp.asarray(img))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_siglip_reduce_impl_matches_global(feats):
+    img, txt, *_ = feats
+    mesh = make_mesh(devices=jax.devices()[:N_DEV])
+    want = siglip_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.float32(10.0), jnp.float32(-10.0)
+    )["contrastive_loss"]
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P())
+    def run(i, t):
+        return siglip_loss(
+            i, t, jnp.float32(10.0), jnp.float32(-10.0),
+            axis_name="data", dist_impl="reduce",
+        )["contrastive_loss"]
+
+    got = float(run(jnp.asarray(img), jnp.asarray(txt)))
+    np.testing.assert_allclose(got, float(want), rtol=1e-4)
