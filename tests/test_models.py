@@ -280,3 +280,43 @@ def test_forward_intermediates(tiny_bundle):
 
     assert feature_take_indices(12, 3) == [9, 10, 11]
     assert feature_take_indices(12, [-1, 0]) == [11, 0]
+
+
+def test_int8_quantized_checkpoint_roundtrip(tmp_path, tiny_bundle):
+    from spatial_clip_tpu.models.quantize import load_quantized_npz, save_quantized_npz
+
+    path = tmp_path / "q.npz"
+    save_quantized_npz(tiny_bundle.params, str(path), min_size=64)
+    restored = load_quantized_npz(str(path))
+    # structure preserved
+    assert len(jax.tree.leaves(restored)) == len(jax.tree.leaves(tiny_bundle.params))
+    # embeddings nearly unchanged
+    images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    f_full = np.asarray(tiny_bundle.encode_image(images))
+    f_q = np.asarray(tiny_bundle.encode_image(images, params=restored))
+    cos = (f_full * f_q).sum(-1)
+    assert (cos > 0.995).all(), cos
+    # artifact meaningfully smaller than fp32 npz
+    from spatial_clip_tpu.train.checkpoints import save_params_npz
+
+    full_path = tmp_path / "full.npz"
+    save_params_npz(tiny_bundle.params, str(full_path))
+    assert path.stat().st_size < 0.6 * full_path.stat().st_size
+
+
+def test_local_dir_model_loading(tmp_path, tiny_bundle):
+    """save_for_hf export loads back via the 'local-dir:' factory scheme
+    (ref: factory.py local-dir handling)."""
+    from spatial_clip_tpu.models.push_to_hf_hub import save_for_hf
+
+    d = save_for_hf(tiny_bundle, tiny_bundle.params, str(tmp_path / "repo"))
+    bundle2 = create_model(
+        f"local-dir:{d}", precision="fp32",
+        pretrained=str(d / "open_clip_pytorch_model.bin"),
+    )
+    images = np.random.default_rng(1).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(tiny_bundle.encode_image(images)),
+        np.asarray(bundle2.encode_image(images)),
+        rtol=1e-5, atol=1e-6,
+    )
