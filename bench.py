@@ -59,13 +59,18 @@ def main():
 
     rng = np.random.default_rng(0)
     B = batch * n_dev
-    ctx = bundle.cfg.text_cfg.context_length
-    vocab = bundle.cfg.text_cfg.vocab_size
     size = bundle.cfg.vision_cfg.image_size
+    if bundle.cfg.gene_cfg is not None:
+        # gene-MLP tower consumes rank-weighted expression vectors
+        texts = rng.uniform(0, 1, (B, bundle.cfg.gene_cfg.num_genes)).astype(np.float32)
+    else:
+        ctx = bundle.cfg.text_cfg.context_length
+        vocab = bundle.cfg.text_cfg.vocab_size
+        texts = rng.integers(0, vocab, (B, ctx), dtype=np.int32)
     tile_ids = np.arange(B, dtype=np.int32)
     host_batch = {
         "images": rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8),
-        "texts": rng.integers(0, vocab, (B, ctx), dtype=np.int32),
+        "texts": texts,
         "image_tile_ids": tile_ids,
         "text_tile_ids": tile_ids,
         "neighbor_tile_ids": rng.integers(-1, B, (B, k)).astype(np.int32),
@@ -91,7 +96,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "HEST tile-spot pairs/sec/chip (ViT-B-32 spatial train step)",
+                "metric": f"HEST tile-spot pairs/sec/chip ({model_name} spatial train step)",
                 "value": round(per_chip, 2),
                 "unit": "pairs/sec/chip",
                 "vs_baseline": round(per_chip / TARGET, 4),
