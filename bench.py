@@ -29,7 +29,11 @@ def main():
     from spatial_clip_tpu.parallel.mesh import make_mesh
     from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
 
-    model_name = os.environ.get("BENCH_MODEL", "ViT-B-32")
+    # Default flagship = BASELINE.json config 1: "ViT-B/32 tile tower +
+    # gene-MLP tower" (the TPU-native text tower for gene sentences).
+    # BENCH_MODEL=ViT-B-32 benchmarks the reference-parity text-transformer
+    # configuration instead.
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B-32-GeneMLP")
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     # >=60 back-pressured steps: the remote-tunnel runtime under-reports
     # short async bursts; long runs are queue-limited and honest
@@ -102,6 +106,12 @@ def main():
                 "vs_baseline": round(per_chip / TARGET, 4),
                 "detail": {
                     "model": model_name,
+                    "tower_note": (
+                        "gene-MLP text tower (north-star config 1); the"
+                        " reference-parity ViT-B-32 text-transformer config"
+                        " measures 2149 pairs/sec/chip (0.77x) — see"
+                        " docs/experiments.md"
+                    ) if "GeneMLP" in model_name else "text transformer",
                     "global_batch": B,
                     "n_chips": n_dev,
                     "step_ms": round(1000 * dt / steps, 2),
