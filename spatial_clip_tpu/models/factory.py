@@ -276,6 +276,22 @@ def get_tokenizer(
     """
     cfg = resolve_clip_cfg(model_name) if model_name else CLIPCfg()
     ctx = context_length or cfg.text_cfg.context_length or DEFAULT_CONTEXT_LENGTH
+    if cfg.gene_cfg is not None:
+        # gene-MLP tower: the 'tokenizer' is a rank-weighted vectorizer
+        from spatial_clip_tpu.models.tokenizer import GeneVectorizer
+
+        if gene_vocab is None:
+            raise ValueError(
+                f"model '{model_name}' uses the gene-MLP tower; pass "
+                "gene_vocab= (e.g. global_hvgs.txt) to build its vectorizer"
+            )
+        vec = GeneVectorizer(gene_vocab)
+        if vec.num_genes != cfg.gene_cfg.num_genes:
+            log.warning(
+                "gene vocab size %d != model num_genes %d; pad/truncate applies",
+                vec.num_genes, cfg.gene_cfg.num_genes,
+            )
+        return vec
     if cfg.text_cfg.hf_tokenizer_name:
         return HFTokenizer(cfg.text_cfg.hf_tokenizer_name, context_length=ctx, **kwargs)
     if gene_vocab is not None:

@@ -262,6 +262,43 @@ class GeneTokenizer:
         return out
 
 
+class GeneVectorizer:
+    """Gene sentence -> rank-weighted expression vector (B, num_genes).
+
+    The "tokenizer" for the GeneMLP tower (north-star config 1): weight
+    ``1 - 0.8 * rank / n`` per expressed gene, matching the reference's
+    zero-shot target construction (ref: src/metrics/zero_shot.py:27-60) so
+    the tower consumes exactly the representation the metric evaluates.
+    """
+
+    def __init__(self, genes: Union[str, Path, Sequence[str]], pad_to_multiple: int = 0):
+        if isinstance(genes, (str, Path)):
+            with open(genes) as f:
+                genes = [line.strip() for line in f if line.strip()]
+        self.genes = list(genes)
+        self.gene_to_idx = {g.upper(): i for i, g in enumerate(self.genes)}
+        n = len(self.genes)
+        if pad_to_multiple:
+            n = ((n + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+        self.num_genes = n
+        self.context_length = n  # for shape-introspecting callers
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), self.num_genes), dtype=np.float32)
+        for i, text in enumerate(texts):
+            toks = [t for t in whitespace_clean(basic_clean(text)).split(" ") if t]
+            n = len(toks)
+            for rank, tok in enumerate(toks):
+                idx = self.gene_to_idx.get(tok.upper())
+                if idx is not None:
+                    out[i, idx] = 1.0 - (0.8 * rank / max(n, 1))
+        return out
+
+
 class HashTokenizer:
     """Deterministic hashing tokenizer — no vocab asset required.
 

@@ -101,3 +101,28 @@ def test_eval_zero_shot_pcc(tmp_path):
     metrics = eval_entry.evaluate(eval_cfg)
     assert "test/zero_shot_pcc" in metrics
     assert -1.0 <= metrics["test/zero_shot_pcc"] <= 1.0
+
+
+def test_gene_mlp_tower_end_to_end(tmp_path):
+    """North-star config 1: gene-MLP tower trains via the vectorizer path."""
+    from spatial_clip_tpu.data.datasets.synthetic import synthetic_gene_list
+
+    hvg = tmp_path / "hvgs.txt"
+    hvg.write_text("\n".join(synthetic_gene_list()[:128]))
+    cfg = _smoke_cfg(
+        tmp_path,
+        (
+            "model.model_name=ViT-Test",
+            f"model.global_hvg_path={hvg}",
+            "+model.gene_cfg.width=32",
+            "+model.gene_cfg.layers=1",
+        ),
+    )
+    # gene tower selected via model cfg override
+    cfg["model"]["gene_cfg"] = {"num_genes": 128, "width": 32, "layers": 1}
+    value, objects = train_entry.train(cfg)
+    assert np.isfinite(value)
+    bundle = objects["bundle"]
+    assert bundle.cfg.gene_cfg is not None
+    tok = objects["datamodule"].tokenizer
+    assert hasattr(tok, "num_genes") and tok.num_genes == 128

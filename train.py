@@ -37,13 +37,30 @@ def build_model(cfg: Dict[str, Any]):
     hvg = mcfg.pop("global_hvg_path", None)
     model_name = mcfg.pop("model_name")
     gene_vocab = tok_cfg.get("gene_vocab") or (hvg if hvg and Path(hvg).exists() else None)
-    tokenizer = get_tokenizer(
-        model_name,
-        gene_vocab=gene_vocab,
-        bpe_path=tok_cfg.get("bpe_path"),
-    )
     overrides = {}
-    if gene_vocab is not None and hasattr(tokenizer, "vocab_size"):
+    gene_cfg_user = mcfg.pop("gene_cfg", None)
+    if gene_cfg_user:
+        # gene-MLP tower requested at the config level: the 'tokenizer' is
+        # the rank-weighted vectorizer and defines the tower's input width
+        from spatial_clip_tpu.models.tokenizer import GeneVectorizer
+
+        if gene_vocab is None:
+            raise ValueError("model.gene_cfg requires a gene vocab (global_hvg_path)")
+        tokenizer = GeneVectorizer(gene_vocab)
+        overrides["gene_cfg"] = {
+            **dict(gene_cfg_user),
+            "num_genes": int(tokenizer.num_genes),
+        }
+    else:
+        tokenizer = get_tokenizer(
+            model_name,
+            gene_vocab=gene_vocab,
+            bpe_path=tok_cfg.get("bpe_path"),
+        )
+    if hasattr(tokenizer, "num_genes") and "gene_cfg" not in overrides:
+        # gene-MLP tower from the model JSON: vectorizer defines input width
+        overrides["gene_cfg"] = {"num_genes": int(tokenizer.num_genes)}
+    elif gene_vocab is not None and hasattr(tokenizer, "vocab_size"):
         # the gene tokenizer defines the closed vocab — the text tower's
         # embedding table must match it, not the JSON default
         base_text = dict(mcfg.pop("text_cfg", None) or {})
