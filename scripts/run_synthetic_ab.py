@@ -18,7 +18,8 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np  # noqa: E402
 
 
-def run_arm(loss_name: str, steps: int, batch: int, seed: int = 0) -> dict:
+def run_arm(loss_name: str, steps: int, batch: int, seed: int = 0,
+            tower: str = "text") -> dict:
     from spatial_clip_tpu import create_model
     from spatial_clip_tpu.data.datamodule import DataLoader
     from spatial_clip_tpu.data.datasets import SyntheticSpatialDataset
@@ -27,7 +28,12 @@ def run_arm(loss_name: str, steps: int, batch: int, seed: int = 0) -> dict:
     from spatial_clip_tpu.data.datasets.synthetic import synthetic_gene_list
     from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
 
-    tok = GeneTokenizer(synthetic_gene_list(), context_length=56)
+    if tower == "gene":
+        from spatial_clip_tpu.models.tokenizer import GeneVectorizer
+
+        tok = GeneVectorizer(synthetic_gene_list())
+    else:
+        tok = GeneTokenizer(synthetic_gene_list(), context_length=56)
     train_ds = SyntheticSpatialDataset(
         num_samples=2048, image_size=64, k_neighbors=6, sentence_len=50,
         tokenizer=tok, seed=seed,
@@ -36,13 +42,21 @@ def run_arm(loss_name: str, steps: int, batch: int, seed: int = 0) -> dict:
         num_samples=256, image_size=64, k_neighbors=6, sentence_len=50,
         tokenizer=tok, seed=seed + 1,
     )
-    bundle = create_model(
-        "ViT-Test", precision="bf16", seed=seed,
-        embed_dim=128,
-        vision_cfg={"image_size": 64, "layers": 6, "width": 128, "patch_size": 16, "heads": 4},
-        text_cfg={"context_length": 56, "vocab_size": tok.vocab_size, "width": 128,
-                  "heads": 4, "layers": 4},
-    )
+    if tower == "gene":
+        bundle = create_model(
+            "ViT-Test", precision="bf16", seed=seed,
+            embed_dim=128,
+            vision_cfg={"image_size": 64, "layers": 6, "width": 128, "patch_size": 16, "heads": 4},
+            gene_cfg={"num_genes": tok.num_genes, "width": 256, "layers": 2},
+        )
+    else:
+        bundle = create_model(
+            "ViT-Test", precision="bf16", seed=seed,
+            embed_dim=128,
+            vision_cfg={"image_size": 64, "layers": 6, "width": 128, "patch_size": 16, "heads": 4},
+            text_cfg={"context_length": 56, "vocab_size": tok.vocab_size, "width": 128,
+                      "heads": 4, "layers": 4},
+        )
     loss = (
         make_loss("spatial", cap_logit_scale=50.0)
         if loss_name == "spatial"
@@ -76,6 +90,7 @@ def run_arm(loss_name: str, steps: int, batch: int, seed: int = 0) -> dict:
     val = trainer.evaluate(state, DataLoader(val_ds, batch_size=batch, shuffle=False))
     return {
         "loss_fn": loss_name,
+        "tower": tower,
         "steps": steps,
         "train_loss_curve": losses,
         "val": {k: round(float(v), 4) for k, v in val.items()},
@@ -90,7 +105,9 @@ def main(argv=None):
     ap.add_argument("--out", type=Path, default=Path("reports/synthetic_ab.json"))
     args = ap.parse_args(argv)
     results = [run_arm("clip", args.steps, args.batch),
-               run_arm("spatial", args.steps, args.batch)]
+               run_arm("spatial", args.steps, args.batch),
+               run_arm("clip", args.steps, args.batch, tower="gene"),
+               run_arm("spatial", args.steps, args.batch, tower="gene")]
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))
