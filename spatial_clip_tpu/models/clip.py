@@ -91,6 +91,7 @@ class CLIP(nn.Module):
                 width=g.width,
                 layers=g.layers,
                 output_dim=self.cfg.embed_dim,
+                gene_dropout=g.gene_dropout,
                 norm_eps=g.norm_eps,
                 dtype=self.dtype,
             )

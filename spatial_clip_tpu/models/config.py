@@ -99,6 +99,7 @@ class GeneCfg:
     num_genes: int = 5000
     width: int = 1024
     layers: int = 3
+    gene_dropout: float = 0.0  # train-time random gene masking (augmentation)
     norm_eps: float = 1e-5
 
 

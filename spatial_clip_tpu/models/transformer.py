@@ -618,11 +618,21 @@ class GeneMLPTower(nn.Module):
     width: int = 1024
     layers: int = 3
     output_dim: int = 512
+    gene_dropout: float = 0.0
     norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, gene_vector: jnp.ndarray, deterministic: bool = True):
+        if self.gene_dropout > 0 and not deterministic:
+            # gene-masking augmentation: randomly silence genes so the tower
+            # can't memorize full expression fingerprints (improves val
+            # retrieval markedly at small data scale — docs/experiments.md)
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.gene_dropout, gene_vector.shape
+            )
+            gene_vector = jnp.where(keep, gene_vector, 0.0)
         x = nn.Dense(
             self.width, dtype=self.dtype, param_dtype=jnp.float32, name="embed"
         )(gene_vector.astype(self.dtype))
