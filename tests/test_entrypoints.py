@@ -126,3 +126,27 @@ def test_gene_mlp_tower_end_to_end(tmp_path):
     assert bundle.cfg.gene_cfg is not None
     tok = objects["datamodule"].tokenizer
     assert hasattr(tok, "num_genes") and tok.num_genes == 128
+
+
+def test_sweep_driver_grid(tmp_path):
+    """Grid sweep over 2 trials ranks by the optimized metric
+    (ref pattern: tests/test_sweeps.py shell-driven sweeps)."""
+    from spatial_clip_tpu.cli import sweep
+
+    out = tmp_path / "sweep.json"
+    summary = sweep.main([
+        "--mode", "grid", "--trials", "2",
+        "--param", "optimizer.learning_rate=choice:0.001,0.0001",
+        "--out", str(out),
+        "--",
+        "experiment=smoke_synthetic",
+        f"paths.root_dir={tmp_path}",
+        "trainer.limit_batches=2",
+        "data.dataset_format_kwargs.num_samples=64",
+        "test=false",
+    ])
+    assert len(summary["results"]) == 2
+    assert summary["best"] is not None
+    values = [r["value"] for r in summary["results"] if "value" in r]
+    assert summary["best"]["value"] == min(values)
+    assert out.exists()
