@@ -20,7 +20,9 @@ reference (histology tile <-> gene-sentence contrastive alignment on HEST-1k):
 
 __version__ = "0.1.0"
 
+from spatial_clip_tpu.losses import make_loss  # noqa: F401
 from spatial_clip_tpu.models.factory import (  # noqa: F401
+    create_loss,
     create_model,
     create_model_and_transforms,
     get_tokenizer,
