@@ -83,6 +83,7 @@ class CLIP(nn.Module):
                 act=act,
                 remat=self.remat,
                 attn_impl=self.cfg.attn_impl,
+                mlp_impl=self.cfg.mlp_impl,
             )
         if self.cfg.gene_cfg is not None:
             g = self.cfg.gene_cfg
@@ -131,6 +132,7 @@ class CLIP(nn.Module):
                 act=act,
                 remat=self.remat,
                 attn_impl=self.cfg.attn_impl,
+                mlp_impl=self.cfg.mlp_impl,
             )
         self.logit_scale = self.param(
             "logit_scale",

@@ -125,6 +125,7 @@ class CLIPCfg:
     # einsum (explicit fp32-softmax) measures ~5% faster than the fused
     # dot_product_attention at CLIP sequence lengths (50/77 tokens) on v5e
     attn_impl: str = "einsum"  # einsum | xla (fused dot_product_attention)
+    mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
     quick_gelu: bool = False

@@ -50,14 +50,51 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree layout (kernel/bias) so
+    fused kernels can consume the weights without changing checkpoints."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MLP(nn.Module):
     width: int
     hidden: int
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
+    impl: str = "dense"  # dense | pallas (fused fc->gelu->proj kernel)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        use_pallas = (
+            self.impl == "pallas"
+            and self.act is nn.gelu
+            and self.hidden % 512 == 0
+            and x.shape[-1] % 128 == 0
+        )
+        if use_pallas:
+            from spatial_clip_tpu.ops.fused_mlp import fused_mlp
+
+            fc_k, fc_b = _DenseParams(x.shape[-1], self.hidden, name="c_fc")()
+            pj_k, pj_b = _DenseParams(self.hidden, self.width, name="c_proj")()
+            shape = x.shape
+            flat = x.reshape(-1, shape[-1])
+            out = fused_mlp(
+                flat.astype(self.dtype),
+                fc_k, fc_b, pj_k, pj_b,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out.reshape(shape[:-1] + (self.width,))
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(x)
         x = self.act(x)
         x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(x)
@@ -156,6 +193,7 @@ class ResidualBlock(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
 
@@ -185,6 +223,7 @@ class ResidualBlock(nn.Module):
             hidden=int(self.width * self.mlp_ratio),
             dtype=self.dtype,
             act=self.act,
+            impl=self.mlp_impl,
             name="mlp",
         )(h)
         x = x + scaled(h, "ls_2")
@@ -230,6 +269,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 act=self.act,
                 attn_impl=self.attn_impl,
+                mlp_impl=self.mlp_impl,
                 qk_norm=self.qk_norm,
                 scaled_cosine=self.scaled_cosine,
                 name=f"resblocks_{i}",
@@ -382,6 +422,7 @@ class VisionTransformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
     # 'reshape': non-overlapping patchify as reshape+matmul — a single plain
@@ -460,6 +501,7 @@ class VisionTransformer(nn.Module):
             act=self.act,
             remat=self.remat,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             name="transformer",
@@ -533,6 +575,7 @@ class TextTransformer(nn.Module):
     act: Callable = nn.gelu
     remat: bool = False
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
 
@@ -577,6 +620,7 @@ class TextTransformer(nn.Module):
             act=self.act,
             remat=self.remat,
             attn_impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             name="transformer",

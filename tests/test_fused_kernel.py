@@ -100,3 +100,48 @@ def test_spatial_loss_fused_matches_unfused(feats=None):
     plain = spatial_loss(**common)["contrastive_loss"]
     fused = spatial_loss(**common, use_fused_kernel=True)["contrastive_loss"]
     np.testing.assert_allclose(float(fused), float(plain), rtol=3e-5)
+
+
+def test_fused_mlp_matches_reference():
+    from spatial_clip_tpu.ops.fused_mlp import fused_mlp, reference_mlp
+
+    rng = np.random.default_rng(0)
+    R, W, H = 100, 128, 512
+    x = jnp.asarray(rng.normal(size=(R, W)).astype(np.float32))
+    fc_w = jnp.asarray(rng.normal(size=(W, H)).astype(np.float32) * 0.05)
+    fc_b = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+    pj_w = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32) * 0.05)
+    pj_b = jnp.asarray(rng.normal(size=(W,)).astype(np.float32) * 0.05)
+    got = fused_mlp(x, fc_w, fc_b, pj_w, pj_b, block_m=64, block_h=256, interpret=True)
+    want = reference_mlp(x, fc_w, fc_b, pj_w, pj_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # gradients
+    def lf(x, fw, fb, pw, pb):
+        return fused_mlp(x, fw, fb, pw, pb, block_m=64, block_h=256, interpret=True).sum()
+
+    def lr(x, fw, fb, pw, pb):
+        return reference_mlp(x, fw, fb, pw, pb).sum()
+
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3, 4))(x, fc_w, fc_b, pj_w, pj_b)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(x, fc_w, fc_b, pj_w, pj_b)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_mlp_impl_pallas_same_params_and_output():
+    """mlp_impl='pallas' keeps the identical param tree and matches dense."""
+    import jax.numpy as jnp
+    from spatial_clip_tpu.models.transformer import MLP
+    from flax import linen as nn
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 10, 128)).astype(np.float32))
+    dense = MLP(width=128, hidden=512, impl="dense")
+    pallas = MLP(width=128, hidden=512, impl="pallas")
+    params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    # identical tree
+    params2 = pallas.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+    out_d = dense.apply({"params": params}, x)
+    out_p = pallas.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d), rtol=2e-5, atol=2e-5)
