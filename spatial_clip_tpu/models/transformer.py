@@ -244,6 +244,7 @@ class Transformer(nn.Module):
     remat: bool = False
     remat_policy: str = "nothing"  # nothing (full recompute) | dots (keep GEMMs)
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
 
