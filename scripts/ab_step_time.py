@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Interleaved A/B step-time benchmark for train-step variants.
+
+    python scripts/ab_step_time.py --arms einsum fold --batch 256 \
+        --rounds 6 --chunk 10
+
+Arms are attn_impl names (optionally `name@B` to override batch, or
+`name#mlp` to set mlp_impl). All arms run in ONE process, interleaved in
+rounds, with device->host value-fetch sync per chunk (the only reliable
+barrier on the tunnel runtime — CLAUDE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def build(arm: str, batch: int, model: str):
+    import jax  # noqa: F401
+
+    from spatial_clip_tpu import create_model
+    from spatial_clip_tpu.losses import make_loss
+    from spatial_clip_tpu.parallel.mesh import make_mesh
+    from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+    name = arm
+    mlp = "dense"
+    if "#" in name:
+        name, mlp = name.split("#")
+    if "@" in name:
+        name, bs = name.split("@")
+        batch = int(bs)
+    bundle = create_model(model, precision="bf16", seed=0, attn_impl=name,
+                          mlp_impl=mlp)
+    tr = Trainer(
+        bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
+        config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,
+                             color_jitter=0.2, log_every=10**9),
+        mesh=make_mesh(),
+    )
+    step = tr.make_train_step()
+    state = tr.init_state()
+    rng = np.random.default_rng(0)
+    B = batch
+    tid = np.arange(B, dtype=np.int32)
+    size = bundle.cfg.vision_cfg.image_size
+    db = tr._device_batch({
+        "images": rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8),
+        "texts": rng.integers(0, bundle.cfg.text_cfg.vocab_size,
+                              (B, bundle.cfg.text_cfg.context_length)).astype(np.int32),
+        "image_tile_ids": tid, "text_tile_ids": tid,
+        "neighbor_tile_ids": rng.integers(-1, B, (B, 6)).astype(np.int32),
+        "neighbor_alphas": rng.uniform(0, 1, (B, 6)).astype(np.float32),
+    })
+    return step, state, db, B
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", nargs="+", required=True)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--model", default="ViT-B-32")
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    arms = {}
+    for arm in args.arms:
+        print(f"building + compiling arm {arm} ...", flush=True)
+        t0 = time.perf_counter()
+        step, state, db, B = build(arm, args.batch, args.model)
+        # warmup = first executions (compile happens here on the tunnel)
+        for _ in range(3):
+            state, m = step(state, db)
+        loss0 = float(np.asarray(m["loss"]))
+        print(f"  compiled+warm in {time.perf_counter()-t0:.0f}s loss={loss0:.3f}",
+              flush=True)
+        arms[arm] = dict(step=step, state=state, db=db, B=B, times=[])
+
+    for r in range(args.rounds):
+        for arm, a in arms.items():
+            state = a["state"]
+            t0 = time.perf_counter()
+            for _ in range(args.chunk):
+                state, m = a["step"](state, a["db"])
+            float(np.asarray(m["loss"]))  # value-fetch barrier
+            dt = time.perf_counter() - t0
+            a["state"] = state
+            a["times"].append(dt / args.chunk)
+            print(f"round {r} {arm}: {1e3*dt/args.chunk:.2f} ms/step", flush=True)
+
+    result = {}
+    for arm, a in arms.items():
+        ms = 1e3 * float(np.median(a["times"]))
+        result[arm] = {
+            "ms_per_step_median": round(ms, 2),
+            "ms_all": [round(1e3 * t, 2) for t in a["times"]],
+            "pairs_per_sec": round(a["B"] / (ms / 1e3), 1),
+            "batch": a["B"],
+        }
+    print(json.dumps(result, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,10 @@ class MultiHeadAttention(nn.Module):
         assert not (self.qk_norm and self.scaled_cosine)
         B, L, D = x.shape
         head_dim = self.width // self.heads
+        if self.impl in ("fold", "fold_bf16") and not (
+            self.qk_norm or self.scaled_cosine
+        ):
+            return self._fold_attention(x, attn_mask)
         qkv = nn.Dense(
             3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
@@ -179,6 +183,43 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(
             self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
         )(out)
+
+    def _fold_attention(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """Layout-copy-free attention.
+
+        The round-1 HLO profile attributed ~15% of device time to layout
+        copies at the q/k/v ``(B,L,D)->(B,L,H,hd)`` reshapes (3 fwd + 3 bwd
+        per block): on TPU the 4D head-split layout pads hd=64 lanes to 128,
+        so each reshape is a physical relayout. Here q/k/v are *projected
+        directly* into head-split ``(B,H,L,hd)`` form by folding the reshape
+        into the projection einsum, and the output projection contracts
+        ``(h, d)`` in one dot — no activation reshape ops exist anywhere, so
+        XLA has nothing to relayout. Param tree/layout is identical to the
+        Dense path (``qkv/kernel (D,3D)``, ``out/kernel (D,D)``) so
+        checkpoints are unaffected.
+        """
+        B, L, D = x.shape
+        H = self.heads
+        hd = self.width // H
+        qkv_k, qkv_b = _DenseParams(D, 3 * self.width, name="qkv")()
+        out_k, out_b = _DenseParams(self.width, self.width, name="out")()
+        w = qkv_k.reshape(D, 3, H, hd).astype(self.dtype)
+        b = qkv_b.reshape(3, H, hd).astype(self.dtype)
+        # (3, B, H, L, hd) straight out of one dot_general; the t/h axes are
+        # major so the q/k/v slices below are free.
+        qkv = jnp.einsum("bld,dthk->tbhlk", x, w) + b[:, None, :, None, :]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        acc = self.dtype if self.impl == "fold_bf16" else jnp.float32
+        scale = hd ** -0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(acc)
+        if attn_mask is not None:
+            attn = attn + attn_mask.astype(acc)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        wo = out_k.reshape(H, hd, self.width).astype(self.dtype)
+        return jnp.einsum("bhqd,hdD->bqD", out, wo) + out_b.astype(self.dtype)
 
 
 class ResidualBlock(nn.Module):
