@@ -132,6 +132,30 @@ class MultiHeadAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
+        if self.impl == "pallas":
+            # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM
+            # output, head-splitting via BlockSpec index maps — no 4D
+            # head-split arrays (and no layout copies) ever hit HBM.
+            # Arbitrary-batch masks fall back to einsum below.
+            mask2d = None
+            ok = True
+            if attn_mask is not None:
+                lead = attn_mask.shape[:-2]
+                if all(s == 1 for s in lead):
+                    mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+                else:
+                    ok = False
+            if ok:
+                from spatial_clip_tpu.ops.fused_attention import fused_attention
+
+                ctx = fused_attention(
+                    qkv, mask2d, self.heads,
+                    jax.default_backend() != "tpu",
+                )
+                return nn.Dense(
+                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="out",
+                )(ctx)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):

@@ -1,0 +1,216 @@
+"""Fused multi-head attention as a Pallas TPU kernel (fwd + custom VJP).
+
+Why this exists (round-2 headline optimization): the optimized-HLO inventory
+(scripts/analyze_hlo.py) shows the dominant copy overhead of the train step —
+~15% of device time — is the q/k/v ``(B,L,D) -> (B,L,H,hd)`` head-split
+reshapes: with head_dim 64 < the 128-lane TPU tile every 4D head-split array
+is physically padded, so XLA materializes a relayout per reshape (3 fwd +
+3 bwd per block, both towers). Re-expressing the reshape as an einsum
+projection just moves the relayout into the dot (measured slower,
+docs/experiments.md).
+
+This kernel removes the 4D head-split arrays from HBM entirely: it consumes
+the *raw fused-qkv GEMM output* ``(B, L, 3*D)`` exactly as XLA produced it,
+and the per-head slicing happens in the BlockSpec index maps — each grid step
+(batch-block i, head h) DMAs the ``(bB, L, hd)`` q/k/v slices it needs, runs
+scores -> fp32 softmax -> weighted sum in VMEM, and writes its ``(bB, L, hd)``
+slice of the output. No intermediate ever round-trips HBM, and the softmax's
+dtype-converting reductions (another profiled family) fuse in too.
+
+The backward pass is the standard attention VJP, recomputed per block in a
+second Pallas kernel; dq/dk/dv are emitted as three ``(B, L, D)`` arrays and
+concatenated into the qkv cotangent.
+
+Semantics match the ``einsum`` path (fp32 softmax statistics): parity is
+enforced by tests/test_fused_attention.py.
+
+Ref analogue: src/open_clip/transformer.py:92-213 (torch F.scaled_dot_product
+attention path); this is the TPU-native replacement.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    q = q_ref[:]  # (bB, L, hd)
+    k = k_ref[:]
+    v = v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale + mask_ref[:][None]
+    s = s - s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / p.sum(axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale):
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale + mask_ref[:][None]
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / e.sum(axis=-1, keepdims=True)  # (bB, Lq, Lk) fp32
+
+    pb = p.astype(do.dtype)
+    # dv[b,k,d] = sum_q p[b,q,k] do[b,q,d]
+    dv = jax.lax.dot_general(
+        pb, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp[b,q,k] = sum_d do[b,q,d] v[b,k,d]
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(do.dtype)
+    # dq[b,q,d] = sum_k ds[b,q,k] k[b,k,d]
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dk[b,k,d] = sum_q ds[b,q,k] q[b,q,d]
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _pick_block_b(B: int) -> int:
+    for bb in (32, 16, 8, 4, 2, 1):
+        if B % bb == 0:
+            return bb
+    return 1
+
+
+def _qkv_specs(block_b, L, hd, heads):
+    def q_map(i, h):
+        return (i, 0, h)
+
+    def k_map(i, h, H=heads):
+        return (i, 0, H + h)
+
+    def v_map(i, h, H=heads):
+        return (i, 0, 2 * H + h)
+
+    blk = (block_b, L, hd)
+    return [
+        pl.BlockSpec(blk, q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, k_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, v_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, L), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_attention(qkv, mask, heads: int, interpret: bool = False):
+    """Multi-head self-attention over a fused qkv tensor.
+
+    qkv: (B, L, 3*D) — concatenated q/k/v projections (D = heads * head_dim).
+    mask: (L, L) additive fp32 mask or None.
+    Returns the pre-output-projection context, (B, L, D).
+    """
+    return _attn_fwd_impl(qkv, mask, heads, interpret)
+
+
+def _attn_fwd_impl(qkv, mask, heads, interpret):
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    assert heads * hd == D and 3 * D == three_d
+    scale = hd ** -0.5
+    if mask is None:
+        mask = jnp.zeros((L, L), jnp.float32)
+    block_b = _pick_block_b(B)
+    grid = (B // block_b, heads)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=_qkv_specs(block_b, L, hd, heads),
+        out_specs=pl.BlockSpec(
+            (block_b, L, hd), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * L * L * hd,
+            bytes_accessed=(qkv.size + B * L * D) * qkv.dtype.itemsize,
+            transcendentals=B * heads * L * L,
+        ),
+    )(qkv, qkv, qkv, mask.astype(jnp.float32))
+    return out
+
+
+def _attn_fwd(qkv, mask, heads, interpret):
+    out = _attn_fwd_impl(qkv, mask, heads, interpret)
+    return out, (qkv, mask)
+
+
+def _attn_bwd(heads, interpret, res, g):
+    qkv, mask = res
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    scale = hd ** -0.5
+    had_mask = mask is not None
+    if mask is None:
+        mask = jnp.zeros((L, L), jnp.float32)
+    block_b = _pick_block_b(B)
+    grid = (B // block_b, heads)
+    blk = (block_b, L, hd)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=_qkv_specs(block_b, L, hd, heads)
+        + [pl.BlockSpec(blk, lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(blk, lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * heads * L * L * hd,
+            bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+            transcendentals=B * heads * L * L,
+        ),
+    )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dmask = jnp.zeros_like(mask) if had_mask else None
+    return dqkv, dmask
+
+
+fused_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+def reference_attention(qkv, mask, heads):
+    """Plain-XLA reference (einsum formulation) for parity tests."""
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, L, heads, hd)
+    k = k.reshape(B, L, heads, hd)
+    v = v.reshape(B, L, heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k).astype(jnp.float32)
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)[None, None]
+    p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(B, L, D)

@@ -1,0 +1,69 @@
+"""Parity tests for the Pallas fused attention kernel (ops/fused_attention).
+
+Interpret mode on CPU; on-TPU compiled parity is covered by
+tests/test_tpu_only.py when SPATIAL_CLIP_TEST_TPU=1.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatial_clip_tpu.ops.fused_attention import (
+    fused_attention,
+    reference_attention,
+)
+
+
+def _rand_qkv(rng, B, L, D):
+    return jnp.asarray(rng.normal(size=(B, L, 3 * D)).astype(np.float32))
+
+
+@pytest.mark.parametrize("B,L,D,H", [(4, 11, 64, 2), (3, 17, 96, 3)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_parity(rng, B, L, D, H, causal):
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = None
+    if causal:
+        mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    out = fused_attention(qkv, mask, H, True)
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gradient_parity(rng):
+    B, L, D, H = 4, 9, 64, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss_fused(q):
+        return ((fused_attention(q, mask, H, True) - tgt) ** 2).sum()
+
+    def loss_ref(q):
+        return ((reference_attention(q, mask, H) - tgt) ** 2).sum()
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3, rtol=1e-4)
+
+
+def test_model_level_parity(rng):
+    """attn_impl='pallas' must match 'einsum' through a whole tower, with the
+    identical param tree (checkpoints unaffected)."""
+    from spatial_clip_tpu import create_model
+
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8).astype(np.float32)
+    texts = rng.integers(0, 512, (2, 16)).astype(np.int32)
+    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum")
+    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas")
+    assert jax.tree_util.tree_structure(b1.params) == jax.tree_util.tree_structure(
+        b2.params
+    )
+    i1 = np.asarray(b1.encode_image(imgs, normalize=False))
+    i2 = np.asarray(b2.encode_image(imgs, params=b1.params, normalize=False))
+    t1 = np.asarray(b1.encode_text(texts, normalize=False))
+    t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
+    np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
