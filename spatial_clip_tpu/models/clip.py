@@ -44,7 +44,20 @@ class CLIP(nn.Module):
         v = self.cfg.vision_cfg
         act = quick_gelu if self.cfg.quick_gelu else nn.gelu
         image_size = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
-        if isinstance(v.layers, (list, tuple)):
+        if v.timm_model_name:
+            from spatial_clip_tpu.models.timm_model import TimmStyleTower
+
+            self.visual = TimmStyleTower(
+                model_name=v.timm_model_name,
+                embed_dim=self.cfg.embed_dim,
+                image_size=image_size,
+                pool=v.timm_pool,
+                proj=v.timm_proj,
+                proj_bias=v.timm_proj_bias,
+                drop=v.timm_drop,
+                dtype=self.dtype,
+            )
+        elif isinstance(v.layers, (list, tuple)):
             # a list of stage depths selects the modified ResNet tower
             # (ref: model.py:133-206 _build_vision_tower)
             from spatial_clip_tpu.models.modified_resnet import ModifiedResNet

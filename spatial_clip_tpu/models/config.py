@@ -46,6 +46,16 @@ class VisionCfg:
     output_tokens: bool = False
     norm_eps: float = 1e-5
     act_kwargs: Optional[Dict[str, Any]] = None
+    # timm-style backbone adapter (ref: src/open_clip/model.py:44-50,
+    # timm_model.py:23-145). When timm_model_name is set the tower is a
+    # TimmStyleTower over a TPU-native trunk registry.
+    timm_model_name: Optional[str] = None
+    timm_model_pretrained: bool = False
+    timm_pool: str = "avg"  # avg | '' | abs_attn | rot_attn
+    timm_proj: str = "linear"  # linear | mlp | none
+    timm_proj_bias: bool = False
+    timm_drop: float = 0.0
+    timm_drop_path: Optional[float] = None
 
     def __post_init__(self):
         if self.heads is None:

@@ -136,9 +136,12 @@ class MultiHeadAttention(nn.Module):
             # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM
             # output, head-splitting via BlockSpec index maps — no 4D
             # head-split arrays (and no layout copies) ever hit HBM.
-            # Arbitrary-batch masks fall back to einsum below.
+            # Arbitrary-batch masks / unsupported head geometry fall back
+            # to einsum below.
+            from spatial_clip_tpu.ops import fused_attention as fa
+
             mask2d = None
-            ok = True
+            ok = fa.supported(self.heads, self.width)
             if attn_mask is not None:
                 lead = attn_mask.shape[:-2]
                 if all(s == 1 for s in lead):
@@ -146,9 +149,7 @@ class MultiHeadAttention(nn.Module):
                 else:
                     ok = False
             if ok:
-                from spatial_clip_tpu.ops.fused_attention import fused_attention
-
-                ctx = fused_attention(
+                ctx = fa.fused_attention(
                     qkv, mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )

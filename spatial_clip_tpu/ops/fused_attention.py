@@ -4,17 +4,19 @@ Why this exists (round-2 headline optimization): the optimized-HLO inventory
 (scripts/analyze_hlo.py) shows the dominant copy overhead of the train step —
 ~15% of device time — is the q/k/v ``(B,L,D) -> (B,L,H,hd)`` head-split
 reshapes: with head_dim 64 < the 128-lane TPU tile every 4D head-split array
-is physically padded, so XLA materializes a relayout per reshape (3 fwd +
-3 bwd per block, both towers). Re-expressing the reshape as an einsum
-projection just moves the relayout into the dot (measured slower,
-docs/experiments.md).
+is physically padded (2.2x, per the B=1024 OOM dump), so XLA materializes a
+relayout per reshape (3 fwd + 3 bwd per block, both towers). Re-expressing
+the reshape as an einsum projection just moves the relayout into the dot
+(measured slower, docs/experiments.md).
 
 This kernel removes the 4D head-split arrays from HBM entirely: it consumes
-the *raw fused-qkv GEMM output* ``(B, L, 3*D)`` exactly as XLA produced it,
-and the per-head slicing happens in the BlockSpec index maps — each grid step
-(batch-block i, head h) DMAs the ``(bB, L, hd)`` q/k/v slices it needs, runs
-scores -> fp32 softmax -> weighted sum in VMEM, and writes its ``(bB, L, hd)``
-slice of the output. No intermediate ever round-trips HBM, and the softmax's
+the *raw fused-qkv GEMM output* ``(B, L, 3*D)`` exactly as XLA produced it.
+Mosaic requires block lane counts divisible by 128, so each grid step
+(batch-block i, head-group j) DMAs a 128-lane group of ``heads_per_block =
+128 // head_dim`` adjacent heads for q/k/v, splits the sub-heads inside VMEM
+(a vector-register operation, not an HBM relayout), runs scores -> fp32
+softmax -> weighted sum per sub-head, and writes its lane group of the
+output. No intermediate ever round-trips HBM, and the softmax's
 dtype-converting reductions (another profiled family) fuse in too.
 
 The backward pass is the standard attention VJP, recomputed per block in a
@@ -37,84 +39,123 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    q = q_ref[:]  # (bB, L, hd)
-    k = k_ref[:]
-    v = v_ref[:]
+def _one_head_fwd(q, k, v, mask, scale):
+    """(bB, L, hd) sub-head attention; fp32 softmax; returns (bB, L, hd)."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    s = s * scale + mask_ref[:][None]
+    s = s * scale + mask[None]
     s = s - s.max(axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hd, hpb):
+    mask = mask_ref[:]
+    outs = []
+    for s in range(hpb):  # static sub-head loop; lane slices stay in VMEM
+        q = q_ref[:, :, s * hd:(s + 1) * hd]
+        k = k_ref[:, :, s * hd:(s + 1) * hd]
+        v = v_ref[:, :, s * hd:(s + 1) * hd]
+        outs.append(_one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype))
+    o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, scale):
-    q = q_ref[:]
-    k = k_ref[:]
-    v = v_ref[:]
-    do = do_ref[:]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    s = s * scale + mask_ref[:][None]
-    s = s - s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / e.sum(axis=-1, keepdims=True)  # (bB, Lq, Lk) fp32
+                *, scale, hd, hpb):
+    mask = mask_ref[:]
+    dqs, dks, dvs = [], [], []
+    for sub in range(hpb):
+        q = q_ref[:, :, sub * hd:(sub + 1) * hd]
+        k = k_ref[:, :, sub * hd:(sub + 1) * hd]
+        v = v_ref[:, :, sub * hd:(sub + 1) * hd]
+        do = do_ref[:, :, sub * hd:(sub + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + mask[None]
+        s = s - s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / e.sum(axis=-1, keepdims=True)  # (bB, Lq, Lk) fp32
 
-    pb = p.astype(do.dtype)
-    # dv[b,k,d] = sum_q p[b,q,k] do[b,q,d]
-    dv = jax.lax.dot_general(
-        pb, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    # dp[b,q,k] = sum_d do[b,q,d] v[b,k,d]
-    dp = jax.lax.dot_general(
-        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(do.dtype)
-    # dq[b,q,d] = sum_k ds[b,q,k] k[b,k,d]
-    dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    # dk[b,k,d] = sum_q ds[b,q,k] q[b,q,d]
-    dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    dq_ref[:] = dq.astype(dq_ref.dtype)
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+        pb = p.astype(do.dtype)
+        # dv[b,k,d] = sum_q p[b,q,k] do[b,q,d]
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dp[b,q,k] = sum_d do[b,q,d] v[b,k,d]
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
+            do.dtype
+        )
+        # dq[b,q,d] = sum_k ds[b,q,k] k[b,k,d]
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dk[b,k,d] = sum_q ds[b,q,k] q[b,q,d]
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq.astype(dq_ref.dtype))
+        dks.append(dk.astype(dk_ref.dtype))
+        dvs.append(dv.astype(dv_ref.dtype))
+    dq_ref[:] = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
 
 
-def _pick_block_b(B: int) -> int:
+def _pick_block_b(B: int, cap: int = 32) -> int:
+    # cap=32 fits the fwd working set in 16MB VMEM with double buffering;
+    # the bwd kernel holds ~2.5x the intermediates, so it uses cap=16.
     for bb in (32, 16, 8, 4, 2, 1):
-        if B % bb == 0:
+        if bb <= cap and B % bb == 0:
             return bb
     return 1
 
 
-def _qkv_specs(block_b, L, hd, heads):
-    def q_map(i, h):
-        return (i, 0, h)
+def heads_per_block(heads: int, head_dim: int):
+    """Lane-group size satisfying Mosaic's 128-divisibility; None if the
+    shape can't be grouped (caller should fall back to the XLA path)."""
+    if head_dim >= 128:
+        return 1 if head_dim % 128 == 0 else None
+    if 128 % head_dim != 0:
+        return None
+    hpb = 128 // head_dim
+    return hpb if heads % hpb == 0 else None
 
-    def k_map(i, h, H=heads):
-        return (i, 0, H + h)
 
-    def v_map(i, h, H=heads):
-        return (i, 0, 2 * H + h)
+def supported(heads: int, dim: int) -> bool:
+    hd = dim // heads
+    return heads * hd == dim and heads_per_block(heads, hd) is not None
 
-    blk = (block_b, L, hd)
+
+def _specs(block_b, L, lanes, D, n_groups):
+    def q_map(i, j):
+        return (i, 0, j)
+
+    def k_map(i, j, off=n_groups):
+        return (i, 0, off + j)
+
+    def v_map(i, j, off=2 * n_groups):
+        return (i, 0, off + j)
+
+    blk = (block_b, L, lanes)
     return [
         pl.BlockSpec(blk, q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, k_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, v_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, L), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, L), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -129,22 +170,34 @@ def fused_attention(qkv, mask, heads: int, interpret: bool = False):
     return _attn_fwd_impl(qkv, mask, heads, interpret)
 
 
-def _attn_fwd_impl(qkv, mask, heads, interpret):
+def _geometry(qkv, heads, block_cap=32):
     B, L, three_d = qkv.shape
     D = three_d // 3
     hd = D // heads
     assert heads * hd == D and 3 * D == three_d
+    hpb = heads_per_block(heads, hd)
+    assert hpb is not None, (
+        f"unsupported head geometry heads={heads} head_dim={hd}; guard with "
+        "fused_attention.supported()"
+    )
+    lanes = hpb * hd
+    n_groups = heads // hpb
+    block_b = _pick_block_b(B, block_cap)
+    grid = (B // block_b, n_groups)
+    return B, L, D, hd, hpb, lanes, n_groups, block_b, grid
+
+
+def _attn_fwd_impl(qkv, mask, heads, interpret):
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
-    block_b = _pick_block_b(B)
-    grid = (B // block_b, heads)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,
-        in_specs=_qkv_specs(block_b, L, hd, heads),
+        in_specs=_specs(block_b, L, lanes, D, n_groups),
         out_specs=pl.BlockSpec(
-            (block_b, L, hd), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
+            (block_b, L, lanes), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
@@ -164,23 +217,19 @@ def _attn_fwd(qkv, mask, heads, interpret):
 
 def _attn_bwd(heads, interpret, res, g):
     qkv, mask = res
-    B, L, three_d = qkv.shape
-    D = three_d // 3
-    hd = D // heads
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, block_cap=16)
     scale = hd ** -0.5
     had_mask = mask is not None
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
-    block_b = _pick_block_b(B)
-    grid = (B // block_b, heads)
-    blk = (block_b, L, hd)
+    blk = (block_b, L, lanes)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,
-        in_specs=_qkv_specs(block_b, L, hd, heads)
-        + [pl.BlockSpec(blk, lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)],
+        in_specs=_specs(block_b, L, lanes, D, n_groups)
+        + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec(blk, lambda i, h: (i, 0, h), memory_space=pltpu.VMEM)
+            pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
         out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],

@@ -20,7 +20,19 @@ def _rand_qkv(rng, B, L, D):
     return jnp.asarray(rng.normal(size=(B, L, 3 * D)).astype(np.float32))
 
 
-@pytest.mark.parametrize("B,L,D,H", [(4, 11, 64, 2), (3, 17, 96, 3)])
+def test_supported_geometry():
+    from spatial_clip_tpu.ops.fused_attention import supported
+
+    assert supported(12, 768)  # ViT-B vision: hd=64, head pairs
+    assert supported(8, 512)  # CLIP text: hd=64
+    assert supported(2, 256)  # hd=128: one head per group
+    assert supported(8, 256)  # hd=32: 4 heads per group
+    assert not supported(2, 32)  # hd=16, H=2 < heads_per_block
+    assert not supported(3, 96)  # hd=32, H=3 not divisible by 4
+
+
+# geometries: hd=64 (head pairs), hd=128 (single head), hd=32 (4-head groups)
+@pytest.mark.parametrize("B,L,D,H", [(4, 11, 128, 2), (3, 17, 384, 3), (2, 9, 256, 8)])
 @pytest.mark.parametrize("causal", [False, True])
 def test_forward_parity(rng, B, L, D, H, causal):
     qkv = _rand_qkv(rng, B, L, D)
@@ -33,7 +45,7 @@ def test_forward_parity(rng, B, L, D, H, causal):
 
 
 def test_gradient_parity(rng):
-    B, L, D, H = 4, 9, 64, 2
+    B, L, D, H = 4, 9, 128, 2
     qkv = _rand_qkv(rng, B, L, D)
     mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
     tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
@@ -56,8 +68,13 @@ def test_model_level_parity(rng):
 
     imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8).astype(np.float32)
     texts = rng.integers(0, 512, (2, 16)).astype(np.int32)
-    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum")
-    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas")
+    # widen ViT-Test so head_dim=64 hits the kernel's supported geometry
+    wide = dict(
+        vision_cfg=dict(width=128, heads=2),
+        text_cfg=dict(width=128, heads=2),
+    )
+    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum", **wide)
+    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas", **wide)
     assert jax.tree_util.tree_structure(b1.params) == jax.tree_util.tree_structure(
         b2.params
     )
