@@ -37,6 +37,13 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--dataset-type",
                    choices=["auto", "parquet", "shards", "synthetic", "csv"],
                    default="auto")
+    p.add_argument("--imagenet-val", default=None,
+                   help="ImageFolder root for zero-shot eval (ref: params.py"
+                        " --imagenet-val, zero_shot.py:45-86)")
+    p.add_argument("--zeroshot-frequency", type=int, default=2,
+                   help="run zero-shot every N epochs (ref: params.py)")
+    p.add_argument("--zeroshot-templates", default="openai",
+                   choices=["openai", "simple"])
     p.add_argument("--train-split", default="train")
     p.add_argument("--val-split", default="val")
     p.add_argument("--csv-img-key", default="filepath")
@@ -133,7 +140,11 @@ def main(args=None):
 
     args = parse_args(args)
     maybe_init_distributed()
-    name = args.name or time.strftime("%Y_%m_%d-%H_%M_%S")
+    # multi-host run-name sync: every process must agree on the timestamped
+    # run dir (ref: main.py:95-97 broadcast_object(date_str))
+    from spatial_clip_tpu.parallel.mesh import broadcast_object
+
+    name = args.name or broadcast_object(time.strftime("%Y_%m_%d-%H_%M_%S"))
     out_dir = Path(args.logs) / name
     out_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(str(out_dir / "out.log"))
@@ -266,6 +277,23 @@ def main(args=None):
         logger=loggers,
         resume=args.resume,
     )
+    if args.imagenet_val:
+        from spatial_clip_tpu.data.datasets.imagefolder import get_imagenet_loader
+        from spatial_clip_tpu.train.zero_shot import imagenet_zero_shot_eval
+
+        loader, classes = get_imagenet_loader(
+            args.imagenet_val, pp_val, batch_size=args.batch_size
+        )
+        # dirs named by ImageNet class are used as-is; otherwise assume the
+        # standard 1000-class layout and use the vendored metadata order
+        zs = imagenet_zero_shot_eval(
+            bundle, state.params, tokenizer, loader,
+            template_set=args.zeroshot_templates,
+            classnames=classes if len(classes) != 1000 else None,
+        )
+        metrics.update(zs)
+        log.info("imagenet zero-shot: %s", zs)
+
     (out_dir / "results.json").write_text(json.dumps(metrics, indent=2, default=float))
     log.info("done: %s", metrics)
     return metrics

@@ -134,7 +134,11 @@ class CLIPCfg:
     multimodal_cfg: Optional[MultimodalCfg] = None  # if set, builds CoCa
     # einsum (explicit fp32-softmax) measures ~5% faster than the fused
     # dot_product_attention at CLIP sequence lengths (50/77 tokens) on v5e
-    attn_impl: str = "einsum"  # einsum | xla (fused dot_product_attention)
+    # auto = pallas fused kernel on TPU (measured 103.7 vs 123.1 ms/step on
+    # ViT-B-32, docs/experiments.md), einsum elsewhere (interpret-mode pallas
+    # is slow on CPU). Other values: einsum | einsum_bf16 | fold | fold_bf16 |
+    # xla (fused dot_product_attention) | pallas (force the kernel).
+    attn_impl: str = "auto"
     mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias

@@ -125,14 +125,17 @@ class MultiHeadAttention(nn.Module):
         assert not (self.qk_norm and self.scaled_cosine)
         B, L, D = x.shape
         head_dim = self.width // self.heads
-        if self.impl in ("fold", "fold_bf16") and not (
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+        if impl in ("fold", "fold_bf16") and not (
             self.qk_norm or self.scaled_cosine
         ):
             return self._fold_attention(x, attn_mask)
         qkv = nn.Dense(
             3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
-        if self.impl == "pallas":
+        if impl == "pallas":
             # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM
             # output, head-splitting via BlockSpec index maps — no 4D
             # head-split arrays (and no layout copies) ever hit HBM.
@@ -186,7 +189,7 @@ class MultiHeadAttention(nn.Module):
             return nn.Dense(
                 self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
             )(out)
-        if self.impl == "xla":
+        if impl == "xla":
             bias = None
             if attn_mask is not None:
                 bias = jnp.broadcast_to(
@@ -199,7 +202,7 @@ class MultiHeadAttention(nn.Module):
             # 'einsum' keeps fp32 softmax stats; 'einsum_bf16' runs the whole
             # attention in compute dtype (opt-in; ~bandwidth win, small
             # numerics change at seq<=77)
-            acc = self.dtype if self.impl == "einsum_bf16" else jnp.float32
+            acc = self.dtype if impl == "einsum_bf16" else jnp.float32
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(acc)
             if attn_mask is not None:
                 attn = attn + attn_mask.astype(acc)

@@ -118,3 +118,60 @@ def process_shard_indices(n: int) -> Tuple[int, int]:
     start = pi * per
     stop = start + per if pi < pc - 1 else n
     return start, stop
+
+
+# ---------------------------------------------------------------------------
+# Host-side object collectives (ref: src/open_clip_train/distributed.py:198-218
+# ``broadcast_object``/``all_gather_object``, used for run-name sync and
+# resume-latest discovery, main.py:95-97,136-168). JAX equivalent: pickle the
+# object into a uint8 array and move it through
+# jax.experimental.multihost_utils over the DCN-connected host set.
+# ---------------------------------------------------------------------------
+
+
+def broadcast_object(obj: Any = None, src: int = 0) -> Any:
+    """Every process returns the ``src`` process's object."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj) if jax.process_index() == src else b""
+    # length first (fixed shape), then the padded payload
+    n = np.asarray([len(payload)], dtype=np.int32)
+    n = multihost_utils.broadcast_one_to_all(n, is_source=jax.process_index() == src)
+    buf = np.zeros(int(n[0]), dtype=np.uint8)
+    if jax.process_index() == src:
+        buf[:] = np.frombuffer(payload, dtype=np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(
+        buf, is_source=jax.process_index() == src
+    )
+    return pickle.loads(buf.tobytes())
+
+
+def all_gather_object(obj: Any) -> list:
+    """Return the list of every process's object, ordered by process index."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # pad to the max payload size across hosts so shapes agree
+    n_local = np.asarray([payload.size], dtype=np.int32)
+    sizes = multihost_utils.process_allgather(n_local).reshape(-1)
+    buf = np.zeros(int(sizes.max()), dtype=np.uint8)
+    buf[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf)
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(gathered.shape[0])
+    ]

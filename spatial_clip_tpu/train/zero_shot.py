@@ -7,6 +7,7 @@ features against it.
 """
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable, Iterable, List, Optional, Sequence
 
 import jax
@@ -106,3 +107,51 @@ def zero_shot_eval(
         top5 += a5 * bs
         n += bs
     return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
+
+
+# ---------------------------------------------------------------------------
+# ImageNet metadata (ref: src/open_clip/zero_shot_metadata.py:1-266).
+# The classnames + prompt templates are the public OpenAI CLIP data assets
+# (same status as the BPE merges file); vendored as JSON data, not code.
+# ---------------------------------------------------------------------------
+
+_METADATA_PATH = (
+    Path(__file__).parents[1] / "models" / "zero_shot_metadata.json"
+)
+
+
+def load_imagenet_metadata(template_set: str = "openai"):
+    """Return (classnames, templates) where templates are callables
+    ``t(classname) -> prompt`` (ref: zero_shot_metadata.py, zero_shot.py:66)."""
+    import json
+
+    data = json.loads(_METADATA_PATH.read_text())
+    key = {
+        "openai": "openai_imagenet_templates",
+        "simple": "simple_imagenet_templates",
+    }[template_set]
+    templates = tuple(
+        (lambda c, f=fmt: f.format(c)) for fmt in data[key]
+    )
+    return tuple(data["imagenet_classnames"]), templates
+
+
+def imagenet_zero_shot_eval(
+    bundle: ModelBundle,
+    params,
+    tokenizer: Callable,
+    loader: Iterable,
+    template_set: str = "openai",
+    classnames: Optional[Sequence[str]] = None,
+) -> dict:
+    """End-to-end ImageNet zero-shot: build the 1000-way classifier from the
+    vendored metadata, evaluate top-1/top-5 (ref: open_clip_train/
+    zero_shot.py:45-86, main.py --imagenet-val path)."""
+    meta_names, templates = load_imagenet_metadata(template_set)
+    names = tuple(classnames) if classnames is not None else meta_names
+    clf = build_zero_shot_classifier(bundle, params, tokenizer, names, templates)
+    res = zero_shot_eval(bundle, params, clf, loader)
+    return {
+        "imagenet-zeroshot-val-top1": res["top1"],
+        "imagenet-zeroshot-val-top5": res["top5"],
+    }
