@@ -159,6 +159,115 @@ def _specs(block_b, L, lanes, D, n_groups):
     ]
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning: the kernel is embarrassingly parallel over the batch
+# dim, but XLA cannot see inside a tpu_custom_call — without a partitioning
+# rule GSPMD/Shardy would all-gather the sharded batch around it. The rules
+# below declare batch ('B') as the only partitionable factor; every other
+# dim is replicated (the kernel mixes across L and head-splits D itself).
+# Ref analogue: the reference relies on torch DDP replicating modules; here
+# the single-program multi-chip path must partition the custom call.
+# ---------------------------------------------------------------------------
+
+
+def _batch_spec(arg_shapes):
+    from jax.sharding import PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    b = spec[0] if len(spec) else None
+    return b, P
+
+
+def _fwd_infer(heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return NamedSharding(mesh, P(b, None, None))
+
+
+def _fwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    arg_shardings = (
+        NamedSharding(mesh, P(b, None, None)),
+        NamedSharding(mesh, P(None, None)),
+    )
+    result_sharding = NamedSharding(mesh, P(b, None, None))
+
+    def lower_fn(qkv, mask):
+        return _attn_fwd_impl(qkv, mask, heads, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _bwd_infer(heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    return (s, s, s)
+
+
+def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    arg_shardings = (s, NamedSharding(mesh, P(None, None)), s)
+
+    def lower_fn(qkv, mask, g):
+        return _bwd_pallas(qkv, mask, g, heads, interpret)
+
+    return mesh, lower_fn, (s, s, s), arg_shardings
+
+
+def _make_cp(fn, infer, partition, rule, n_args):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(fn, static_argnums=(n_args, n_args + 1))
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(dict.fromkeys(
+            f for f in rule.replace(",", " ").replace("->", " ").split()
+            if f != "B"
+        )),
+    )
+    return cp
+
+
+_fwd_cp = None
+_bwd_cp = None
+
+
+def _get_fwd_cp():
+    global _fwd_cp
+    if _fwd_cp is None:
+        _fwd_cp = _make_cp(
+            lambda qkv, mask, heads, interpret: _attn_fwd_impl(
+                qkv, mask, heads, interpret
+            ),
+            _fwd_infer, _fwd_partition,
+            "B l d, m n -> B l e", 2,
+        )
+    return _fwd_cp
+
+
+def _get_bwd_cp():
+    global _bwd_cp
+    if _bwd_cp is None:
+        _bwd_cp = _make_cp(
+            lambda qkv, mask, g, heads, interpret: _bwd_pallas(
+                qkv, mask, g, heads, interpret
+            ),
+            _bwd_infer, _bwd_partition,
+            "B l d, m n, B l e -> B l g1, B l g2, B l g3", 3,
+        )
+    return _bwd_cp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_attention(qkv, mask, heads: int, interpret: bool = False):
     """Multi-head self-attention over a fused qkv tensor.
@@ -167,7 +276,9 @@ def fused_attention(qkv, mask, heads: int, interpret: bool = False):
     mask: (L, L) additive fp32 mask or None.
     Returns the pre-output-projection context, (B, L, D).
     """
-    return _attn_fwd_impl(qkv, mask, heads, interpret)
+    if mask is None:
+        mask = jnp.zeros((qkv.shape[1], qkv.shape[1]), jnp.float32)
+    return _get_fwd_cp()(qkv, mask, heads, interpret)
 
 
 def _geometry(qkv, heads, block_cap=32):
@@ -211,17 +322,24 @@ def _attn_fwd_impl(qkv, mask, heads, interpret):
 
 
 def _attn_fwd(qkv, mask, heads, interpret):
-    out = _attn_fwd_impl(qkv, mask, heads, interpret)
-    return out, (qkv, mask)
+    had_mask = mask is not None
+    if mask is None:
+        mask = jnp.zeros((qkv.shape[1], qkv.shape[1]), jnp.float32)
+    out = _get_fwd_cp()(qkv, mask, heads, interpret)
+    return out, (qkv, mask, had_mask)
 
 
 def _attn_bwd(heads, interpret, res, g):
-    qkv, mask = res
+    qkv, mask, had_mask = res
+    dq, dk, dv = _get_bwd_cp()(qkv, mask, g, heads, interpret)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dmask = jnp.zeros_like(mask) if had_mask else None
+    return dqkv, dmask
+
+
+def _bwd_pallas(qkv, mask, g, heads, interpret):
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, block_cap=16)
     scale = hd ** -0.5
-    had_mask = mask is not None
-    if mask is None:
-        mask = jnp.zeros((L, L), jnp.float32)
     blk = (block_b, L, lanes)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb),
@@ -240,9 +358,7 @@ def _attn_bwd(heads, interpret, res, g):
             transcendentals=B * heads * L * L,
         ),
     )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    dmask = jnp.zeros_like(mask) if had_mask else None
-    return dqkv, dmask
+    return dq, dk, dv
 
 
 fused_attention.defvjp(_attn_fwd, _attn_bwd)

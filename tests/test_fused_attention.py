@@ -84,3 +84,34 @@ def test_model_level_parity(rng):
     t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
     np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_batch_partitioning(rng):
+    """Under a batch-sharded mesh the custom-partitioning rule must keep the
+    kernel per-shard (no gather) and produce reference results + grads."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, L, D, H = 16, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qkv_s = jax.device_put(qkv, sh)
+
+    @jax.jit
+    def fwd(q):
+        return fused_attention(q, mask, H, True)
+
+    out = fwd(qkv_s)
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    @jax.jit
+    def loss(q):
+        return (fused_attention(q, mask, H, True) ** 2).sum()
+
+    g = jax.grad(loss)(qkv_s)
+    g_ref = jax.grad(lambda q: (reference_attention(q, mask, H) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
