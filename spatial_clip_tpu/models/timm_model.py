@@ -168,6 +168,33 @@ TRUNKS: Dict[str, TrunkSpec] = {
 }
 
 
+def _siglip_vit(width, layers, heads, patch, mlp_ratio=4.0):
+    # SigLIP ViT trunks: gap-style ViT (no cls token), MAP pooling is
+    # applied by the adapter head (timm_pool='map')
+    return TrunkSpec(
+        build=lambda dtype: ViTTrunk(
+            patch_size=patch, width=width, layers=layers, heads=heads,
+            mlp_ratio=mlp_ratio, dtype=dtype,
+        ),
+        reduction=patch,
+    )
+
+
+for _p in (16, 32):
+    for _sz in (224, 256, 384, 512):
+        TRUNKS[f"vit_base_patch{_p}_siglip_{_sz}"] = _siglip_vit(768, 12, 12, _p)
+for _sz in (256, 384, 512):
+    TRUNKS[f"vit_large_patch16_siglip_{_sz}"] = _siglip_vit(1024, 24, 16, 16)
+for _p, _sz in ((14, 224), (14, 378), (14, 384), (16, 256), (16, 384), (16, 512)):
+    TRUNKS[f"vit_so400m_patch{_p}_siglip_{_sz}"] = _siglip_vit(
+        1152, 27, 16, _p, mlp_ratio=3.7362
+    )
+for _sz in (256, 384):
+    TRUNKS[f"vit_giantopt_patch16_siglip_{_sz}"] = _siglip_vit(1536, 40, 16, 16)
+# tiny siglip-style trunk for tests
+TRUNKS["vit_pico_patch16_siglip_test"] = _siglip_vit(64, 2, 2, 16)
+
+
 def list_timm_trunks():
     return sorted(TRUNKS)
 
@@ -202,13 +229,16 @@ class AttentionPool2dHead(nn.Module):
     """Single-query attention pooling over a spatial feature map.
 
     ``rotary=False`` ~ timm AbsAttentionPool2d (learned 2D pos-embed);
-    ``rotary=True`` ~ timm RotAttentionPool2d (2D rotary on q/k).
-    Query = mean token; output projected to ``out_features``.
+    ``rotary=True`` ~ timm RotAttentionPool2d (2D rotary on q/k);
+    ``learned_query=True`` ~ timm/big_vision MAP head (SigLIP pooling).
+    Query = mean token (or a learned token); output projected to
+    ``out_features``.
     """
 
     out_features: int
     heads: int = 8
     rotary: bool = False
+    learned_query: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -216,13 +246,19 @@ class AttentionPool2dHead(nn.Module):
         B, gh, gw, C = feat.shape
         L = gh * gw
         x = feat.reshape(B, L, C)
-        if not self.rotary:
+        if not self.rotary and not self.learned_query:
             pos = self.param(
                 "pos_embed", nn.initializers.normal(C ** -0.5), (L, C),
                 jnp.float32,
             )
             x = x + pos[None].astype(self.dtype)
-        q_tok = x.mean(axis=1, keepdims=True)  # (B, 1, C)
+        if self.learned_query:
+            probe = self.param(
+                "probe", nn.initializers.normal(0.02), (1, C), jnp.float32
+            )
+            q_tok = jnp.broadcast_to(probe[None], (B, 1, C)).astype(self.dtype)
+        else:
+            q_tok = x.mean(axis=1, keepdims=True)  # (B, 1, C)
         head_dim = C // self.heads
         q = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="q")(q_tok)
         k = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
@@ -279,10 +315,11 @@ class TimmStyleTower(nn.Module):
             g = int(L ** 0.5)
             feat = feat.reshape(B, g, g, C)
 
-        if self.pool in ("abs_attn", "rot_attn"):
+        if self.pool in ("abs_attn", "rot_attn", "map"):
             x = AttentionPool2dHead(
                 out_features=self.embed_dim,
                 rotary=self.pool == "rot_attn",
+                learned_query=self.pool == "map",
                 dtype=self.dtype,
                 name="attn_pool",
             )(feat)

@@ -115,10 +115,79 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dv_ref[:] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
 
 
+# Tunable batch-block caps (scripts/bench_attn_kernel.py): the fwd working
+# set fits 16MB VMEM at 32 rows with double buffering; the bwd kernel holds
+# ~2.5x the intermediates so it defaults lower.
+FWD_BLOCK_CAP = 32
+BWD_BLOCK_CAP = 16
+# 'slab' (default): grid over batch blocks only; each step DMAs the fully
+# contiguous (bB, L, 3D) qkv slab and slices heads inside VMEM — maximal DMA
+# burst size, and the bwd writes dqkv directly (no XLA concat). 'group':
+# grid (batch, head-group) with 128-lane strided blocks.
+KERNEL_VARIANT = "slab"
+SLAB_FWD_CAP = 16
+SLAB_BWD_CAP = 8
+
+
+def _fwd_kernel_slab(qkv_ref, mask_ref, o_ref, *, scale, hd, heads):
+    mask = mask_ref[:]
+    slab = qkv_ref[:]  # (bB, L, 3D) — one contiguous DMA
+    D = heads * hd
+    outs = []
+    for h in range(heads):
+        q = slab[:, :, h * hd:(h + 1) * hd]
+        k = slab[:, :, D + h * hd:D + (h + 1) * hd]
+        v = slab[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        outs.append(_one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype))
+    o_ref[:] = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel_slab(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, heads):
+    mask = mask_ref[:]
+    slab = qkv_ref[:]
+    D = heads * hd
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        q = slab[:, :, h * hd:(h + 1) * hd]
+        k = slab[:, :, D + h * hd:D + (h + 1) * hd]
+        v = slab[:, :, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        do = do_ref[:, :, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + mask[None]
+        s = s - s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / e.sum(axis=-1, keepdims=True)
+        pb = p.astype(do.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
+            do.dtype
+        )
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[:] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
 def _pick_block_b(B: int, cap: int = 32) -> int:
-    # cap=32 fits the fwd working set in 16MB VMEM with double buffering;
-    # the bwd kernel holds ~2.5x the intermediates, so it uses cap=16.
-    for bb in (32, 16, 8, 4, 2, 1):
+    for bb in (64, 32, 16, 8, 4, 2, 1):
         if bb <= cap and B % bb == 0:
             return bb
     return 1
@@ -205,8 +274,7 @@ def _bwd_infer(heads, interpret, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding
 
     b, P = _batch_spec(arg_shapes)
-    s = NamedSharding(mesh, P(b, None, None))
-    return (s, s, s)
+    return NamedSharding(mesh, P(b, None, None))
 
 
 def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
@@ -219,7 +287,7 @@ def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
     def lower_fn(qkv, mask, g):
         return _bwd_pallas(qkv, mask, g, heads, interpret)
 
-    return mesh, lower_fn, (s, s, s), arg_shardings
+    return mesh, lower_fn, s, arg_shardings
 
 
 def _make_cp(fn, infer, partition, rule, n_args):
@@ -263,7 +331,7 @@ def _get_bwd_cp():
                 qkv, mask, g, heads, interpret
             ),
             _bwd_infer, _bwd_partition,
-            "B l d, m n, B l e -> B l g1, B l g2, B l g3", 3,
+            "B l d, m n, B l e -> B l d2", 3,
         )
     return _bwd_cp
 
@@ -299,7 +367,9 @@ def _geometry(qkv, heads, block_cap=32):
 
 
 def _attn_fwd_impl(qkv, mask, heads, interpret):
-    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads)
+    if KERNEL_VARIANT == "slab":
+        return _fwd_pallas_slab(qkv, mask, heads, interpret)
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, FWD_BLOCK_CAP)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
@@ -321,6 +391,34 @@ def _attn_fwd_impl(qkv, mask, heads, interpret):
     return out
 
 
+def _fwd_pallas_slab(qkv, mask, heads, interpret):
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    scale = hd ** -0.5
+    if mask is None:
+        mask = jnp.zeros((L, L), jnp.float32)
+    block_b = _pick_block_b(B, SLAB_FWD_CAP)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_slab, scale=scale, hd=hd, heads=heads),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, L, 3 * D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, L, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * L * L * hd,
+            bytes_accessed=(qkv.size + B * L * D) * qkv.dtype.itemsize,
+            transcendentals=B * heads * L * L,
+        ),
+    )(qkv, mask.astype(jnp.float32))
+
+
 def _attn_fwd(qkv, mask, heads, interpret):
     had_mask = mask is not None
     if mask is None:
@@ -331,14 +429,15 @@ def _attn_fwd(qkv, mask, heads, interpret):
 
 def _attn_bwd(heads, interpret, res, g):
     qkv, mask, had_mask = res
-    dq, dk, dv = _get_bwd_cp()(qkv, mask, g, heads, interpret)
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dqkv = _get_bwd_cp()(qkv, mask, g, heads, interpret)
     dmask = jnp.zeros_like(mask) if had_mask else None
     return dqkv, dmask
 
 
 def _bwd_pallas(qkv, mask, g, heads, interpret):
-    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, block_cap=16)
+    if KERNEL_VARIANT == "slab":
+        return _bwd_pallas_slab(qkv, mask, g, heads, interpret)
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, BWD_BLOCK_CAP)
     scale = hd ** -0.5
     blk = (block_b, L, lanes)
     dq, dk, dv = pl.pallas_call(
@@ -358,7 +457,35 @@ def _bwd_pallas(qkv, mask, g, heads, interpret):
             transcendentals=B * heads * L * L,
         ),
     )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
-    return dq, dk, dv
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+def _bwd_pallas_slab(qkv, mask, g, heads, interpret):
+    B, L, three_d = qkv.shape
+    D = three_d // 3
+    hd = D // heads
+    scale = hd ** -0.5
+    block_b = _pick_block_b(B, SLAB_BWD_CAP)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_slab, scale=scale, hd=hd, heads=heads),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, L, 3 * D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, L, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, L, 3 * D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, 3 * D), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * heads * L * L * hd,
+            bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+            transcendentals=B * heads * L * L,
+        ),
+    )(qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
 
 
 fused_attention.defvjp(_attn_fwd, _attn_bwd)
