@@ -133,13 +133,15 @@ class ViTTrunk(nn.Module):
 
 @dataclass(frozen=True)
 class TrunkSpec:
-    build: Callable[[Any], nn.Module]  # dtype -> module
+    build: Callable[..., nn.Module]  # (dtype, name) -> module
     reduction: int  # spatial reduction factor (for feat_size calc)
 
 
 def _convnext(depths, dims):
     return TrunkSpec(
-        build=lambda dtype: ConvNeXtTrunk(depths=depths, dims=dims, dtype=dtype),
+        build=lambda dtype, name=None: ConvNeXtTrunk(
+            depths=depths, dims=dims, dtype=dtype, name=name
+        ),
         reduction=32,
     )
 
@@ -152,14 +154,14 @@ TRUNKS: Dict[str, TrunkSpec] = {
     "convnext_xlarge": _convnext((3, 3, 27, 3), (256, 512, 1024, 2048)),
     "convnext_xxlarge": _convnext((3, 4, 30, 3), (384, 768, 1536, 3072)),
     "vit_medium_patch16_gap_256": TrunkSpec(
-        build=lambda dtype: ViTTrunk(
-            patch_size=16, width=512, layers=12, heads=8, dtype=dtype
+        build=lambda dtype, name=None: ViTTrunk(
+            patch_size=16, width=512, layers=12, heads=8, dtype=dtype, name=name
         ),
         reduction=16,
     ),
     "vit_base_patch16_gap_224": TrunkSpec(
-        build=lambda dtype: ViTTrunk(
-            patch_size=16, width=768, layers=12, heads=12, dtype=dtype
+        build=lambda dtype, name=None: ViTTrunk(
+            patch_size=16, width=768, layers=12, heads=12, dtype=dtype, name=name
         ),
         reduction=16,
     ),
@@ -172,9 +174,9 @@ def _siglip_vit(width, layers, heads, patch, mlp_ratio=4.0):
     # SigLIP ViT trunks: gap-style ViT (no cls token), MAP pooling is
     # applied by the adapter head (timm_pool='map')
     return TrunkSpec(
-        build=lambda dtype: ViTTrunk(
+        build=lambda dtype, name=None: ViTTrunk(
             patch_size=patch, width=width, layers=layers, heads=heads,
-            mlp_ratio=mlp_ratio, dtype=dtype,
+            mlp_ratio=mlp_ratio, dtype=dtype, name=name,
         ),
         reduction=patch,
     )
@@ -229,16 +231,13 @@ class AttentionPool2dHead(nn.Module):
     """Single-query attention pooling over a spatial feature map.
 
     ``rotary=False`` ~ timm AbsAttentionPool2d (learned 2D pos-embed);
-    ``rotary=True`` ~ timm RotAttentionPool2d (2D rotary on q/k);
-    ``learned_query=True`` ~ timm/big_vision MAP head (SigLIP pooling).
-    Query = mean token (or a learned token); output projected to
-    ``out_features``.
+    ``rotary=True`` ~ timm RotAttentionPool2d (2D rotary on q/k).
+    Query = mean token; output projected to ``out_features``.
     """
 
     out_features: int
     heads: int = 8
     rotary: bool = False
-    learned_query: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -246,19 +245,13 @@ class AttentionPool2dHead(nn.Module):
         B, gh, gw, C = feat.shape
         L = gh * gw
         x = feat.reshape(B, L, C)
-        if not self.rotary and not self.learned_query:
+        if not self.rotary:
             pos = self.param(
                 "pos_embed", nn.initializers.normal(C ** -0.5), (L, C),
                 jnp.float32,
             )
             x = x + pos[None].astype(self.dtype)
-        if self.learned_query:
-            probe = self.param(
-                "probe", nn.initializers.normal(0.02), (1, C), jnp.float32
-            )
-            q_tok = jnp.broadcast_to(probe[None], (B, 1, C)).astype(self.dtype)
-        else:
-            q_tok = x.mean(axis=1, keepdims=True)  # (B, 1, C)
+        q_tok = x.mean(axis=1, keepdims=True)  # (B, 1, C)
         head_dim = C // self.heads
         q = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="q")(q_tok)
         k = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
@@ -280,6 +273,53 @@ class AttentionPool2dHead(nn.Module):
             self.out_features, dtype=self.dtype, param_dtype=jnp.float32,
             name="proj",
         )(out)
+
+
+class MAPHead(nn.Module):
+    """big_vision MAP head (SigLIP pooling): learned probe token attends over
+    the feature map, then an MLP residual. Param layout mirrors big_vision so
+    SigLIP .npz checkpoints convert 1:1 (ref: src/open_clip/convert.py:96-113,
+    MAPHead_0/{probe, MultiHeadDotProductAttention_0, LayerNorm_0,
+    MlpBlock_0})."""
+
+    heads: Optional[int] = None  # default: C // 64 (big_vision convention)
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        if feat.ndim == 4:
+            B, gh, gw, C = feat.shape
+            x = feat.reshape(B, gh * gw, C)
+        else:
+            B, L, C = feat.shape
+            x = feat
+        L = x.shape[1]
+        heads = self.heads or max(1, C // 64)
+        probe = self.param("probe", nn.initializers.normal(0.02), (1, C),
+                           jnp.float32)
+        q_tok = jnp.broadcast_to(probe[None], (B, 1, C)).astype(self.dtype)
+        head_dim = C // heads
+        q = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="q")(q_tok)
+        k = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="k")(x)
+        v = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="v")(x)
+        qh = q.reshape(B, 1, heads, head_dim)
+        kh = k.reshape(B, L, heads, head_dim)
+        vh = v.reshape(B, L, heads, head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh * head_dim ** -0.5, kh).astype(
+            jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, 1, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="out")(out)
+        y = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln")(out)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_fc")(y)
+        h = nn.gelu(h)
+        h = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_proj")(h)
+        return (out + h)[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -308,18 +348,19 @@ class TimmStyleTower(nn.Module):
                 f"{list_timm_trunks()}"
             )
         spec = TRUNKS[self.model_name]
-        trunk = spec.build(self.dtype)
+        trunk = spec.build(self.dtype, name="trunk")
         feat = trunk(images, deterministic=deterministic)
         if feat.ndim == 3:  # token grid from ViT trunks -> (B, gh, gw, C)
             B, L, C = feat.shape
             g = int(L ** 0.5)
             feat = feat.reshape(B, g, g, C)
 
-        if self.pool in ("abs_attn", "rot_attn", "map"):
+        if self.pool == "map":
+            x = MAPHead(dtype=self.dtype, name="attn_pool")(feat)
+        elif self.pool in ("abs_attn", "rot_attn"):
             x = AttentionPool2dHead(
                 out_features=self.embed_dim,
                 rotary=self.pool == "rot_attn",
-                learned_query=self.pool == "map",
                 dtype=self.dtype,
                 name="attn_pool",
             )(feat)
