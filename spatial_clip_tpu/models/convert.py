@@ -230,3 +230,132 @@ def convert_torch_checkpoint(path: Path, reference_params: Dict[str, Any]) -> Di
     if unexpected:
         log.warning("Unexpected checkpoint keys ignored: %s", unexpected[:8])
     return jax.tree.map(lambda x: x, _unflatten(out))
+
+
+# ---------------------------------------------------------------------------
+# big_vision (.npz) SigLIP converter
+# (ref: src/open_clip/convert.py:13-196 ``load_big_vision_weights``)
+# ---------------------------------------------------------------------------
+
+
+def _bv_attn(w, prefix: str, out: Dict[str, np.ndarray], jprefix: str):
+    """Map one big_vision encoderblock to a flax resblock."""
+    # sub-module numbering differs across big_vision versions; probe both
+    def find(*cands):
+        for c in cands:
+            if f"{prefix}{c}/query/kernel" in w or f"{prefix}{c}/scale" in w or f"{prefix}{c}/Dense_0/kernel" in w:
+                return c
+        return cands[0]
+
+    mha = find("MultiHeadDotProductAttention_0", "MultiHeadDotProductAttention_1")
+    ln2 = find("LayerNorm_1", "LayerNorm_2")
+    mlp = find("MlpBlock_0", "MlpBlock_3")
+    out[f"{jprefix}/ln_1/scale"] = w[f"{prefix}LayerNorm_0/scale"]
+    out[f"{jprefix}/ln_1/bias"] = w[f"{prefix}LayerNorm_0/bias"]
+    out[f"{jprefix}/ln_2/scale"] = w[f"{prefix}{ln2}/scale"]
+    out[f"{jprefix}/ln_2/bias"] = w[f"{prefix}{ln2}/bias"]
+    D = w[f"{prefix}{mha}/query/kernel"].shape[0]
+    qkv_k = np.concatenate(
+        [w[f"{prefix}{mha}/{n}/kernel"].reshape(D, -1) for n in ("query", "key", "value")],
+        axis=1,
+    )
+    qkv_b = np.concatenate(
+        [w[f"{prefix}{mha}/{n}/bias"].reshape(-1) for n in ("query", "key", "value")]
+    )
+    out[f"{jprefix}/attn/qkv/kernel"] = qkv_k
+    out[f"{jprefix}/attn/qkv/bias"] = qkv_b
+    out[f"{jprefix}/attn/out/kernel"] = w[f"{prefix}{mha}/out/kernel"].reshape(-1, D)
+    out[f"{jprefix}/attn/out/bias"] = w[f"{prefix}{mha}/out/bias"].reshape(-1)
+    out[f"{jprefix}/mlp/c_fc/kernel"] = w[f"{prefix}{mlp}/Dense_0/kernel"]
+    out[f"{jprefix}/mlp/c_fc/bias"] = w[f"{prefix}{mlp}/Dense_0/bias"]
+    out[f"{jprefix}/mlp/c_proj/kernel"] = w[f"{prefix}{mlp}/Dense_1/kernel"]
+    out[f"{jprefix}/mlp/c_proj/bias"] = w[f"{prefix}{mlp}/Dense_1/bias"]
+
+
+def load_big_vision_npz(path: Path, reference_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a big_vision SigLIP .npz into our param tree.
+
+    Target model shape: TimmStyleTower with a siglip ViT trunk + MAP pooling
+    (timm_pool='map') and a TextTransformer with proj_bias — i.e. the
+    ViT-*-SigLIP* model configs. big_vision stores flax-layout kernels, so
+    most tensors copy without transposition (unlike the torch converters).
+    """
+    w = dict(np.load(path))
+    root = "params/" if "params/b" in w else ""
+    out: Dict[str, np.ndarray] = {}
+
+    # image tower (TimmStyleTower: trunk + MAP head)
+    img = f"{root}img/"
+    out["visual/trunk/patch_embed/kernel"] = w[f"{img}embedding/kernel"]
+    out["visual/trunk/patch_embed/bias"] = w[f"{img}embedding/bias"]
+    out["visual/trunk/pos_embed"] = w[f"{img}pos_embedding"].reshape(
+        -1, w[f"{img}pos_embedding"].shape[-1]
+    )
+    i = 0
+    while f"{img}Transformer/encoderblock_{i}/LayerNorm_0/scale" in w:
+        _bv_attn(
+            w, f"{img}Transformer/encoderblock_{i}/", out,
+            f"visual/trunk/blocks/resblocks_{i}",
+        )
+        i += 1
+    out["visual/trunk/norm/scale"] = w[f"{img}Transformer/encoder_norm/scale"]
+    out["visual/trunk/norm/bias"] = w[f"{img}Transformer/encoder_norm/bias"]
+
+    mp = f"{img}MAPHead_0/"
+    if f"{mp}probe" in w:
+        D = w[f"{mp}probe"].shape[-1]
+        out["visual/attn_pool/probe"] = w[f"{mp}probe"].reshape(1, D)
+        mha = f"{mp}MultiHeadDotProductAttention_0/"
+        for src, dst in (("query", "q"), ("key", "k"), ("value", "v")):
+            out[f"visual/attn_pool/{dst}/kernel"] = w[f"{mha}{src}/kernel"].reshape(D, -1)
+            out[f"visual/attn_pool/{dst}/bias"] = w[f"{mha}{src}/bias"].reshape(-1)
+        out["visual/attn_pool/out/kernel"] = w[f"{mha}out/kernel"].reshape(-1, D)
+        out["visual/attn_pool/out/bias"] = w[f"{mha}out/bias"].reshape(-1)
+        out["visual/attn_pool/ln/scale"] = w[f"{mp}LayerNorm_0/scale"]
+        out["visual/attn_pool/ln/bias"] = w[f"{mp}LayerNorm_0/bias"]
+        out["visual/attn_pool/mlp_fc/kernel"] = w[f"{mp}MlpBlock_0/Dense_0/kernel"]
+        out["visual/attn_pool/mlp_fc/bias"] = w[f"{mp}MlpBlock_0/Dense_0/bias"]
+        out["visual/attn_pool/mlp_proj/kernel"] = w[f"{mp}MlpBlock_0/Dense_1/kernel"]
+        out["visual/attn_pool/mlp_proj/bias"] = w[f"{mp}MlpBlock_0/Dense_1/bias"]
+
+    # text tower
+    txt = f"{root}txt/"
+    out["text/token_embedding/embedding"] = w[f"{txt}Embed_0/embedding"]
+    out["text/positional_embedding"] = w[f"{txt}pos_embedding"].reshape(
+        -1, w[f"{txt}pos_embedding"].shape[-1]
+    )
+    i = 0
+    while f"{txt}Encoder_0/encoderblock_{i}/LayerNorm_0/scale" in w:
+        _bv_attn(
+            w, f"{txt}Encoder_0/encoderblock_{i}/", out,
+            f"text/transformer/resblocks_{i}",
+        )
+        i += 1
+    out["text/ln_final/scale"] = w[f"{txt}Encoder_0/encoder_norm/scale"]
+    out["text/ln_final/bias"] = w[f"{txt}Encoder_0/encoder_norm/bias"]
+    out["text/text_projection/kernel"] = w[f"{txt}head/kernel"]
+    out["text/text_projection/bias"] = w[f"{txt}head/bias"]
+
+    out["logit_scale"] = np.asarray(w[f"{root}t"]).reshape(())
+    out["logit_bias"] = np.asarray(w[f"{root}b"]).reshape(())
+
+    ref_flat = _flatten(reference_params)
+    fitted: Dict[str, np.ndarray] = {}
+    missing = []
+    for k, ref in ref_flat.items():
+        if k in out:
+            v = out[k]
+            if tuple(v.shape) != tuple(np.asarray(ref).shape):
+                raise ValueError(
+                    f"big_vision shape mismatch {k}: {v.shape} vs {np.asarray(ref).shape}"
+                )
+            fitted[k] = v.astype(np.asarray(ref).dtype)
+        else:
+            missing.append(k)
+            fitted[k] = np.asarray(ref)
+    unexpected = [k for k in out if k not in ref_flat]
+    if missing:
+        log.warning("big_vision: %d keys kept at init e.g. %s", len(missing), missing[:5])
+    if unexpected:
+        log.warning("big_vision: %d unmapped keys e.g. %s", len(unexpected), unexpected[:5])
+    return _unflatten(fitted)

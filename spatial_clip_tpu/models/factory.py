@@ -211,6 +211,11 @@ def load_checkpoint(params, checkpoint_path: Union[str, Path], model_name: str =
     suffix = path.suffix.lower()
     if suffix == ".npz":
         flat = dict(np.load(path))
+        if any(k in flat for k in ("params/t", "t", "params/img/embedding/kernel")):
+            # big_vision SigLIP checkpoint (ref: convert.py:13)
+            from spatial_clip_tpu.models.convert import load_big_vision_npz
+
+            return load_big_vision_npz(path, params)
         from spatial_clip_tpu.train.checkpoints import unflatten_params
 
         loaded = unflatten_params(flat)
