@@ -46,6 +46,66 @@ def _sample(space, rng: np.random.Generator) -> Dict[str, Any]:
     return out
 
 
+def _tpe_sample(
+    space,
+    history: List[Dict[str, Any]],
+    rng: np.random.Generator,
+    direction: str,
+    n_startup: int = 4,
+    n_candidates: int = 24,
+    gamma: float = 0.25,
+) -> Dict[str, Any]:
+    """Optuna-style Tree-structured Parzen Estimator step.
+
+    The reference drives Optuna through Hydra multirun (ref: README sweeps +
+    configs/hparams_search/loss_sweep.yaml); optuna isn't installed in this
+    image, so this is a self-contained TPE: split completed trials into
+    good/bad by the gamma-quantile of the objective, model each numeric
+    param with Parzen (gaussian-kernel) densities l(x) (good) and g(x)
+    (bad), categorical params with add-one category weights, and pick the
+    candidate maximizing l(x)/g(x).
+    """
+    scored = [h for h in history if h.get("value") is not None]
+    if len(scored) < n_startup:
+        return _sample(space, rng)
+    vals = np.array([h["value"] for h in scored], dtype=float)
+    order = np.argsort(vals if direction == "minimize" else -vals)
+    n_good = max(1, int(np.ceil(gamma * len(scored))))
+    good = [scored[i]["params"] for i in order[:n_good]]
+    bad = [scored[i]["params"] for i in order[n_good:]] or good
+
+    def _log_parzen(x, obs, lo, hi):
+        obs = np.asarray(obs, dtype=float)
+        sigma = max((hi - lo) / max(len(obs), 1), 1e-12)
+        d = (x - obs[:, None]) / sigma  # (n_obs, n_x)
+        return np.log(np.mean(np.exp(-0.5 * d * d) + 1e-12, axis=0))
+
+    cands = [_sample(space, rng) for _ in range(n_candidates)]
+    scores = np.zeros(len(cands))
+    for key, (kind, arg) in space.items():
+        xs = np.array([c[key] if kind == "choice" else float(c[key]) for c in cands],
+                      dtype=object if kind == "choice" else float)
+        if kind == "choice":
+            cats = list(arg)
+            gw = np.ones(len(cats))
+            bw = np.ones(len(cats))
+            for p in good:
+                gw[cats.index(p[key])] += 1
+            for p in bad:
+                bw[cats.index(p[key])] += 1
+            gw /= gw.sum()
+            bw /= bw.sum()
+            idx = np.array([cats.index(x) for x in xs])
+            scores += np.log(gw[idx]) - np.log(bw[idx])
+        else:
+            lo, hi = (np.log(arg[0]), np.log(arg[1])) if kind == "loguniform" else arg
+            f = np.log if kind == "loguniform" else (lambda v: v)
+            xv = np.array([f(float(x)) for x in xs])
+            scores += _log_parzen(xv, [f(float(p[key])) for p in good], lo, hi)
+            scores -= _log_parzen(xv, [f(float(p[key])) for p in bad], lo, hi)
+    return cands[int(np.argmax(scores))]
+
+
 def _grid(space) -> List[Dict[str, Any]]:
     import itertools
 
@@ -62,7 +122,7 @@ def _grid(space) -> List[Dict[str, Any]]:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=8)
-    ap.add_argument("--mode", choices=["random", "grid"], default="random")
+    ap.add_argument("--mode", choices=["random", "grid", "tpe"], default="random")
     ap.add_argument("--param", action="append", default=[], dest="params")
     ap.add_argument("--direction", choices=["minimize", "maximize"], default="minimize")
     ap.add_argument("--seed", type=int, default=0)
@@ -76,14 +136,23 @@ def main(argv=None):
 
     space = dict(_parse_space(s) for s in args.params)
     rng = np.random.default_rng(args.seed)
-    trials = (
-        _grid(space)[: args.trials or None]
-        if args.mode == "grid"
-        else [_sample(space, rng) for _ in range(args.trials)]
-    )
+    if args.mode == "grid":
+        trials = iter(_grid(space)[: args.trials or None])
+        n_trials = len(_grid(space)[: args.trials or None])
+    elif args.mode == "tpe":
+        trials = None  # sampled sequentially from the history below
+        n_trials = args.trials
+    else:
+        trials = iter([_sample(space, rng) for _ in range(args.trials)])
+        n_trials = args.trials
 
     results = []
-    for i, trial in enumerate(trials):
+    for i in range(n_trials):
+        trial = (
+            _tpe_sample(space, results, rng, args.direction)
+            if args.mode == "tpe"
+            else next(trials)
+        )
         trial_overrides = list(args.overrides) + [
             f"{k}={v}" for k, v in trial.items()
         ] + [f"name=sweep_trial_{i}"]

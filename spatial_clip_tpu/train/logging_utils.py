@@ -151,6 +151,68 @@ def make_loggers(spec: str, out_dir: str) -> MultiLogger:
                 out.append(TensorBoardLogger(os.path.join(out_dir, "tb")))
             except ImportError:
                 logging.getLogger(__name__).warning("tensorboard unavailable")
+        elif name in ("mlflow", "neptune", "comet"):
+            # gated third-party backends (ref: configs/logger/{mlflow,neptune,
+            # comet}.yaml); each falls back with a warning when the client
+            # library isn't installed in this image
+            adapter = _third_party_logger(name, out_dir)
+            if adapter is not None:
+                out.append(adapter)
+        elif name == "many_loggers":
+            # ref: configs/logger/many_loggers.yaml — every available backend
+            return make_loggers("csv,jsonl,tensorboard,wandb,mlflow", out_dir)
         else:
             logging.getLogger(__name__).warning("unknown logger '%s' skipped", name)
     return MultiLogger(out)
+
+
+def _third_party_logger(name: str, out_dir: str):
+    log_ = logging.getLogger(__name__)
+    try:
+        if name == "mlflow":
+            import mlflow
+
+            class _MLflow:
+                def __init__(self, out):
+                    mlflow.set_tracking_uri(f"file:{out}/mlflow")
+                    mlflow.start_run()
+
+                def log(self, step, metrics):
+                    mlflow.log_metrics(
+                        {k.replace("/", "_"): float(v) for k, v in metrics.items()
+                         if isinstance(v, (int, float))},
+                        step=step,
+                    )
+
+            return _MLflow(out_dir)
+        if name == "neptune":
+            import neptune
+
+            class _Neptune:
+                def __init__(self):
+                    self.run = neptune.init_run(mode="offline")
+
+                def log(self, step, metrics):
+                    for k, v in metrics.items():
+                        if isinstance(v, (int, float)):
+                            self.run[k].append(float(v), step=step)
+
+            return _Neptune()
+        if name == "comet":
+            import comet_ml
+
+            class _Comet:
+                def __init__(self):
+                    self.exp = comet_ml.Experiment()
+
+                def log(self, step, metrics):
+                    self.exp.log_metrics(
+                        {k: v for k, v in metrics.items()
+                         if isinstance(v, (int, float))},
+                        step=step,
+                    )
+
+            return _Comet()
+    except ImportError:
+        log_.warning("%s unavailable; skipped", name)
+    return None

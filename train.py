@@ -148,10 +148,20 @@ def train(cfg: Dict[str, Any]) -> Tuple[Optional[float], Dict[str, Any]]:
     dm.setup("fit")
 
     tcfg = cfg.get("trainer", {})
+    if tcfg.get("detect_anomaly"):
+        # NaN/Inf sanitizer — the jax_debug_nans analogue of Lightning's
+        # detect_anomaly (ref: configs/debug/default.yaml:33)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     steps_per_epoch = len(dm.train_dataloader())
     limit = tcfg.get("limit_batches")
     if limit:
         steps_per_epoch = min(steps_per_epoch, int(limit))
+    overfit = int(tcfg.get("overfit_batches") or 0)
+    if overfit:
+        # ref: configs/debug/overfit.yaml — train repeatedly on N batches
+        steps_per_epoch = overfit
     epochs = int(tcfg.get("epochs", 1))
     max_steps = int(tcfg.get("max_steps", -1))
     total_steps = (
@@ -167,17 +177,41 @@ def train(cfg: Dict[str, Any]) -> Tuple[Optional[float], Dict[str, Any]]:
         train_iter.epoch = getattr(train_iter, "epoch", 0) + 1
         return loader
 
+    if overfit:
+        import itertools
+
+        cached = list(itertools.islice(iter(dm.train_dataloader()), overfit))
+
+        def train_iter():  # noqa: F811 — overfit preset replaces the loader
+            return iter(cached)
+
     val_iter = (lambda: dm.val_dataloader()) if dm.data_val is not None else None
-    state, metrics = trainer.fit(
-        train_iter,
-        val_iter,
-        epochs=epochs,
-        steps_per_epoch=(
-            min(steps_per_epoch, max_steps) if max_steps > 0 else steps_per_epoch
-        ),
-        logger=loggers,
-        resume=cfg.get("resume"),
-    )
+
+    profiler_dir = None
+    if tcfg.get("profiler"):
+        # execution-time profiling preset (ref: configs/debug/profiler.yaml);
+        # the trace is readable with tensorboard / xprof
+        import jax
+
+        profiler_dir = str(out_dir / "profile")
+        jax.profiler.start_trace(profiler_dir)
+    try:
+        state, metrics = trainer.fit(
+            train_iter,
+            val_iter,
+            epochs=epochs,
+            steps_per_epoch=(
+                min(steps_per_epoch, max_steps) if max_steps > 0 else steps_per_epoch
+            ),
+            logger=loggers,
+            resume=cfg.get("resume"),
+        )
+    finally:
+        if profiler_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s", profiler_dir)
 
     if cfg.get("test", False) and val_iter is not None:
         test_metrics = trainer.evaluate(state, dm.test_dataloader())
