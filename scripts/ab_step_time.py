@@ -32,13 +32,16 @@ def build(arm: str, batch: int, model: str):
 
     name = arm
     mlp = "dense"
+    ln = "fp32"
+    if "%" in name:
+        name, ln = name.split("%")
     if "#" in name:
         name, mlp = name.split("#")
     if "@" in name:
         name, bs = name.split("@")
         batch = int(bs)
     bundle = create_model(model, precision="bf16", seed=0, attn_impl=name,
-                          mlp_impl=mlp)
+                          mlp_impl=mlp, ln_impl=ln)
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
         config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,

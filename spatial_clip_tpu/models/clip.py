@@ -97,6 +97,7 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 attn_impl=self.cfg.attn_impl,
                 mlp_impl=self.cfg.mlp_impl,
+                ln_stats=self.cfg.ln_impl,
             )
         if self.cfg.gene_cfg is not None:
             g = self.cfg.gene_cfg
@@ -107,6 +108,7 @@ class CLIP(nn.Module):
                 output_dim=self.cfg.embed_dim,
                 gene_dropout=g.gene_dropout,
                 norm_eps=g.norm_eps,
+                ln_stats=self.cfg.ln_impl,
                 dtype=self.dtype,
             )
         elif self.cfg.text_cfg.hf_config is not None or self.cfg.text_cfg.hf_model_name:
@@ -146,6 +148,7 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 attn_impl=self.cfg.attn_impl,
                 mlp_impl=self.cfg.mlp_impl,
+                ln_stats=self.cfg.ln_impl,
             )
         self.logit_scale = self.param(
             "logit_scale",

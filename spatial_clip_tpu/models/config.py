@@ -140,6 +140,9 @@ class CLIPCfg:
     # xla (fused dot_product_attention) | pallas (force the kernel).
     attn_impl: str = "auto"
     mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
+    # fp32 (default, reference semantics) | compute — LN statistics dtype;
+    # 'compute' is a bandwidth experiment gated on synthetic-A/B quality
+    ln_impl: str = "fp32"
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
     quick_gelu: bool = False

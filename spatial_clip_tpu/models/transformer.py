@@ -33,20 +33,27 @@ class LayerNorm(nn.Module):
 
     Params are created flat (``scale``/``bias``) so torch checkpoints map
     directly (``ln_x.weight -> scale``, see models/convert.py).
+
+    ``stats_dtype='compute'`` keeps the mean/var reductions in the compute
+    dtype — an opt-in bandwidth experiment (the profiled convert_reduce
+    family is the dtype-converting LN/softmax reductions); quality must be
+    gated via the synthetic A/B before enabling in a flagship config.
     """
 
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    stats_dtype: str = "fp32"  # fp32 | compute
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        x32 = x.astype(jnp.float32)
-        mean = x32.mean(axis=-1, keepdims=True)
-        var = jnp.square(x32 - mean).mean(axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        acc = self.dtype if self.stats_dtype == "compute" else jnp.float32
+        xa = x.astype(acc)
+        mean = xa.mean(axis=-1, keepdims=True)
+        var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
+        y = (xa - mean) * jax.lax.rsqrt(var + self.eps) * scale.astype(acc) + bias.astype(acc)
         return y.astype(self.dtype)
 
 
@@ -265,6 +272,7 @@ class ResidualBlock(nn.Module):
     mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
+    ln_stats: str = "fp32"
 
     @nn.compact
     def __call__(
@@ -279,14 +287,16 @@ class ResidualBlock(nn.Module):
             )
             return y * gamma.astype(self.dtype)
 
-        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_1")(x)
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                      stats_dtype=self.ln_stats, name="ln_1")(x)
         h = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
             impl=self.attn_impl, qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine, name="attn",
         )(h, attn_mask)
         x = x + scaled(h, "ls_1")
-        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_2")(x)
+        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                      stats_dtype=self.ln_stats, name="ln_2")(x)
         h = MLP(
             width=self.width,
             hidden=int(self.width * self.mlp_ratio),
@@ -316,6 +326,7 @@ class Transformer(nn.Module):
     mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
+    ln_stats: str = "fp32"
 
     @nn.compact
     def __call__(
@@ -342,6 +353,7 @@ class Transformer(nn.Module):
                 mlp_impl=self.mlp_impl,
                 qk_norm=self.qk_norm,
                 scaled_cosine=self.scaled_cosine,
+                ln_stats=self.ln_stats,
                 name=f"resblocks_{i}",
             )(x, attn_mask)
             # expose per-block tokens for probing / forward_intermediates
@@ -498,6 +510,7 @@ class VisionTransformer(nn.Module):
     # 'reshape': non-overlapping patchify as reshape+matmul — a single plain
     # MXU GEMM fwd AND bwd (conv lowering pays im2col/grad-conv overhead on
     # TPU). 'conv': nn.Conv. Both share the same HWIO kernel param.
+    ln_stats: str = "fp32"
     patchify_impl: str = "reshape"
 
     def _pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -559,7 +572,7 @@ class VisionTransformer(nn.Module):
                 x, deterministic=deterministic
             )
         if not self.no_ln_pre:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_pre")(x)
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_pre")(x)
         x = Transformer(
             width=self.width,
             layers=self.layers,
@@ -574,6 +587,7 @@ class VisionTransformer(nn.Module):
             mlp_impl=self.mlp_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
+            ln_stats=self.ln_stats,
             name="transformer",
         )(x)
 
@@ -588,12 +602,12 @@ class VisionTransformer(nn.Module):
                 name="attn_pool",
             )(x)
             pooled, tokens = x[:, 0], x[:, 1:]
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(pooled)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(pooled)
         elif self.final_ln_after_pool:
             pooled, tokens = self._pool(x)
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(pooled)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(pooled)
         else:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_post")(x)
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(x)
             pooled, tokens = self._pool(x)
 
         proj = self.param(
@@ -648,6 +662,7 @@ class TextTransformer(nn.Module):
     mlp_impl: str = "dense"
     qk_norm: bool = False
     scaled_cosine: bool = False
+    ln_stats: str = "fp32"
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
@@ -693,17 +708,18 @@ class TextTransformer(nn.Module):
             mlp_impl=self.mlp_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
+            ln_stats=self.ln_stats,
             name="transformer",
         )(x, attn_mask)
 
         if self.embed_cls:
             pooled = x[:, -1]
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(pooled)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(pooled)
         elif self.final_ln_after_pool:
             pooled = text_global_pool(x, text, self.pool_type)
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(pooled)
+            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(pooled)
         else:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(x)
+            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(x)
             pooled = text_global_pool(x, text, self.pool_type)
 
         if self.proj_bias:
@@ -735,6 +751,7 @@ class GeneMLPTower(nn.Module):
     gene_dropout: float = 0.0
     norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    ln_stats: str = "fp32"
 
     @nn.compact
     def __call__(self, gene_vector: jnp.ndarray, deterministic: bool = True):
@@ -762,7 +779,7 @@ class GeneMLPTower(nn.Module):
                 name=f"proj_{i}",
             )(h)
             x = x + h
-        x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, name="ln_final")(x)
+        x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(x)
         return nn.Dense(
             self.output_dim, dtype=self.dtype, param_dtype=jnp.float32, name="head"
         )(x)
