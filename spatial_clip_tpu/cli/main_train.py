@@ -100,6 +100,12 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--report-to", default="csv,jsonl")
+    p.add_argument("--remote-sync", default=None,
+                   help="remote dir to mirror the run dir into (ref: "
+                        "main.py:174-194 background S3/fsspec sync)")
+    p.add_argument("--remote-sync-frequency", type=int, default=300)
+    p.add_argument("--remote-sync-protocol", default="local",
+                   choices=["local", "fsspec", "s3"])
     p.add_argument("--log-every-n-steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic-num-samples", type=int, default=1024)
@@ -269,6 +275,21 @@ def main(args=None):
     )
     trainer = Trainer(bundle, loss=loss, config=cfg)
     loggers = make_loggers(args.report_to, str(out_dir))
+
+    sync_proc = None
+    if args.remote_sync:
+        from spatial_clip_tpu.utils.file_sync import remote_sync, start_sync_process
+
+        remote_run_dir = str(Path(args.remote_sync) / name)
+        # one synchronous sync validates the destination before training
+        # (ref: main.py:175-189)
+        if not remote_sync(str(out_dir), remote_run_dir, args.remote_sync_protocol):
+            raise RuntimeError(f"initial remote sync failed: {remote_run_dir}")
+        sync_proc = start_sync_process(
+            args.remote_sync_frequency, str(out_dir), remote_run_dir,
+            args.remote_sync_protocol,
+        )
+        sync_proc.start()
     state, metrics = trainer.fit(
         lambda: dm.train_dataloader(),
         (lambda: dm.val_dataloader()) if dm.data_val is not None else None,
@@ -295,6 +316,15 @@ def main(args=None):
         log.info("imagenet zero-shot: %s", zs)
 
     (out_dir / "results.json").write_text(json.dumps(metrics, indent=2, default=float))
+    if sync_proc is not None:
+        from spatial_clip_tpu.utils.file_sync import remote_sync
+
+        sync_proc.terminate()
+        # final full sync so the remote has the finished run
+        remote_sync(
+            str(out_dir), str(Path(args.remote_sync) / name),
+            args.remote_sync_protocol,
+        )
     log.info("done: %s", metrics)
     return metrics
 

@@ -77,3 +77,40 @@ def test_embed_cli(tmp_path):
         np.linalg.norm(data["text_embeddings"], axis=1), 1.0, rtol=1e-4
     )
     assert len(set(data["tile_ids"].tolist())) == 10
+
+
+def test_remote_sync_cli(tmp_path):
+    """Background run-dir mirror (ref: file_utils.py:11-64, main.py:174-194)."""
+    remote = tmp_path / "remote"
+    metrics = main_train.main(
+        [
+            "--model", "ViT-Test", "--precision", "fp32",
+            "--dataset-type", "synthetic",
+            "--synthetic-num-samples", "32", "--synthetic-image-size", "32",
+            "--batch-size", "8", "--epochs", "1", "--steps-per-epoch", "1",
+            "--warmup", "1", "--log-every-n-steps", "1",
+            "--logs", str(tmp_path / "logs"), "--name", "rs",
+            "--remote-sync", str(remote), "--remote-sync-protocol", "local",
+            "--remote-sync-frequency", "1000",
+        ]
+    )
+    import numpy as np
+    assert np.isfinite(metrics["loss"])
+    synced = remote / "rs"
+    assert (synced / "results.json").exists()
+    # in-flight 'latest' artifacts are excluded from sync
+    assert not any("latest" in p.name for p in synced.rglob("*"))
+
+
+def test_remote_sync_unit(tmp_path):
+    from spatial_clip_tpu.utils.file_sync import remote_sync
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    (src / "step_latest.tmp").write_text("skipme")
+    dst = tmp_path / "dst"
+    assert remote_sync(str(src), str(dst), "local")
+    assert (dst / "a.txt").read_text() == "hello"
+    assert not (dst / "step_latest.tmp").exists()
+    assert not remote_sync(str(src), str(dst), "bogus")
