@@ -94,14 +94,16 @@ class ConvNeXtTrunk(nn.Module):
 
 
 class ViTTrunk(nn.Module):
-    """Plain ViT trunk (gap-style: no class token), returns token grid
-    (B, gh*gw, width). Covers timm's ``vit_*_gap_*`` naming family."""
+    """Plain ViT trunk, returns a token grid (B, gh, gw, width) — or, with
+    ``cls_token=True``, the full token sequence (B, 1+L, width) for 'token'
+    pooling. Covers timm's ``vit_*_gap_*`` / ``vit_*_siglip_*`` families."""
 
     patch_size: int = 16
     width: int = 512
     layers: int = 12
     heads: int = 8
     mlp_ratio: float = 4.0
+    cls_token: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -117,10 +119,20 @@ class ViTTrunk(nn.Module):
             param_dtype=jnp.float32, name="patch_embed",
         )(x.astype(self.dtype))
         gh, gw = x.shape[1], x.shape[2]
-        x = x.reshape(B, gh * gw, self.width)
+        L = gh * gw
+        x = x.reshape(B, L, self.width)
+        n_prefix = 0
+        if self.cls_token:
+            cls = self.param("cls", nn.initializers.normal(0.02),
+                             (self.width,), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype), x],
+                axis=1,
+            )
+            n_prefix = 1
         pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (gh * gw, self.width),
-            jnp.float32,
+            "pos_embed", nn.initializers.normal(0.02),
+            (L + n_prefix, self.width), jnp.float32,
         )
         x = x + pos[None].astype(self.dtype)
         x = Transformer(
@@ -128,7 +140,300 @@ class ViTTrunk(nn.Module):
             mlp_ratio=self.mlp_ratio, dtype=self.dtype, name="blocks",
         )(x)
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.cls_token:
+            return x  # (B, 1+L, width)
         return x.reshape(B, gh, gw, self.width)
+
+
+class EVATrunk(nn.Module):
+    """EVA02-style ViT trunk: cls token, 2D rotary position embedding on q/k
+    (patch tokens only) and SwiGLU MLP (ref: the reference ships EVA01/02
+    configs through timm, timm_model_name='eva02_*', model_configs/EVA*.json).
+    Returns the full token sequence (B, 1+L, width) for 'token' pooling."""
+
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0 * 2 / 3  # SwiGLU convention: hidden = ratio*width
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        p = self.patch_size
+        x = nn.Conv(
+            self.width, kernel_size=(p, p), strides=(p, p), dtype=self.dtype,
+            param_dtype=jnp.float32, name="patch_embed",
+        )(x.astype(self.dtype))
+        gh, gw = x.shape[1], x.shape[2]
+        L = gh * gw
+        x = x.reshape(B, L, self.width)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (self.width,), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype), x],
+            axis=1,
+        )
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (L + 1, self.width), jnp.float32)
+        x = x + pos[None].astype(self.dtype)
+
+        hd = self.width // self.heads
+        sin, cos = _rope_2d(hd, gh, gw)
+        sin = sin.astype(self.dtype)
+        cos = cos.astype(self.dtype)
+        hidden = int(self.width * self.mlp_ratio)
+
+        for i in range(self.layers):
+            blk = f"blocks_{i}"
+            h = LayerNorm(dtype=self.dtype, eps=1e-6, name=f"{blk}_ln1")(x)
+            qkv = nn.Dense(3 * self.width, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"{blk}_qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def rope(t):
+                # rotary on patch tokens only; cls passes through
+                heads_t = t[:, 1:].reshape(B, L, self.heads, hd)
+                rot = heads_t * cos[None, :, None, :] + _rotate_half(heads_t) * sin[None, :, None, :]
+                return jnp.concatenate(
+                    [t[:, :1], rot.reshape(B, L, self.width)], axis=1
+                )
+
+            q, k = rope(q), rope(k)
+            qh = q.reshape(B, L + 1, self.heads, hd)
+            kh = k.reshape(B, L + 1, self.heads, hd)
+            vh = v.reshape(B, L + 1, self.heads, hd)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh).astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, L + 1, self.width)
+            o = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{blk}_proj")(o)
+            x = x + o
+            h = LayerNorm(dtype=self.dtype, eps=1e-6, name=f"{blk}_ln2")(x)
+            # SwiGLU: (silu(w1 x) * w2 x) w3
+            g = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{blk}_w1")(h)
+            u = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{blk}_w2")(h)
+            h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{blk}_w3")(jax.nn.silu(g) * u)
+            x = x + h
+        return LayerNorm(dtype=self.dtype, eps=1e-6, name="norm")(x)
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck (ViTamin conv stages)."""
+
+    dim: int
+    expand: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = LayerNorm(dtype=self.dtype, eps=1e-6, name="norm")(x)
+        h = nn.Conv(self.dim * self.expand, kernel_size=(1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="expand")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.dim * self.expand, kernel_size=(3, 3), padding="SAME",
+                    feature_group_count=self.dim * self.expand, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dw")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="project")(h)
+        return x + h
+
+
+class ViTaminTrunk(nn.Module):
+    """ViTamin hybrid trunk: conv stem -> 2 MBConv stages -> ViT stage
+    (ref: ViTamin-*.json configs via timm_model_name='vitamin_*')."""
+
+    conv_dims: Tuple[int, int] = (128, 256)
+    conv_depths: Tuple[int, int] = (2, 4)
+    vit_width: int = 768
+    vit_layers: int = 14
+    vit_heads: int = 12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Conv(self.conv_dims[0] // 2, kernel_size=(3, 3), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv1")(x.astype(self.dtype))
+        x = nn.gelu(x)
+        x = nn.Conv(self.conv_dims[0], kernel_size=(3, 3), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv2")(x)
+        for stage, (dim, depth) in enumerate(zip(self.conv_dims, self.conv_depths)):
+            if stage > 0:
+                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"ds_{stage}")(x)
+            for b in range(depth):
+                x = MBConvBlock(dim=dim, dtype=self.dtype,
+                                name=f"stage{stage}_mbconv{b}")(x)
+        # to ViT stage at stride 16
+        x = nn.Conv(self.vit_width, kernel_size=(2, 2), strides=(2, 2),
+                    dtype=self.dtype, param_dtype=jnp.float32, name="vit_embed")(x)
+        B, gh, gw, _ = x.shape
+        t = x.reshape(B, gh * gw, self.vit_width)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (gh * gw, self.vit_width), jnp.float32)
+        t = t + pos[None].astype(self.dtype)
+        t = Transformer(width=self.vit_width, layers=self.vit_layers,
+                        heads=self.vit_heads, dtype=self.dtype, name="vit")(t)
+        t = LayerNorm(dtype=self.dtype, eps=1e-6, name="norm")(t)
+        return t.reshape(B, gh, gw, self.vit_width)
+
+
+class RepMixerBlock(nn.Module):
+    """FastViT token-mixing block (train-time form: depthwise 3x3 residual
+    mixer + convolutional FFN)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = LayerNorm(dtype=self.dtype, eps=1e-6, name="mix_norm")(x)
+        h = nn.Conv(self.dim, kernel_size=(3, 3), padding="SAME",
+                    feature_group_count=self.dim, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="mixer")(h)
+        x = x + h
+        h = LayerNorm(dtype=self.dtype, eps=1e-6, name="ffn_norm")(x)
+        h = nn.Conv(self.dim * 3, kernel_size=(1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="ffn_fc")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="ffn_proj")(h)
+        return x + h
+
+
+class FastViTTrunk(nn.Module):
+    """FastViT/MCi trunk (MobileCLIP image encoders, timm 'fastvit_mci*'):
+    conv stem, 3 RepMixer stages, final attention stage."""
+
+    dims: Tuple[int, ...] = (76, 152, 304, 608)
+    depths: Tuple[int, ...] = (2, 6, 10, 2)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Conv(self.dims[0], kernel_size=(3, 3), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem1")(x.astype(self.dtype))
+        x = nn.gelu(x)
+        x = nn.Conv(self.dims[0], kernel_size=(3, 3), strides=(2, 2),
+                    padding="SAME", feature_group_count=self.dims[0],
+                    dtype=self.dtype, param_dtype=jnp.float32, name="stem2")(x)
+        for stage, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            if stage > 0:
+                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"ds_{stage}")(x)
+            if stage < 3:
+                for b in range(depth):
+                    x = RepMixerBlock(dim=dim, dtype=self.dtype,
+                                      name=f"stage{stage}_block{b}")(x)
+            else:
+                B, gh, gw, C = x.shape
+                t = x.reshape(B, gh * gw, C)
+                t = Transformer(width=C, heads=max(1, C // 64), layers=depth,
+                                dtype=self.dtype, name="attn_stage")(t)
+                x = t.reshape(B, gh, gw, C)
+        return LayerNorm(dtype=self.dtype, eps=1e-6, name="norm")(x)
+
+
+class SwinBlock(nn.Module):
+    """Windowed MSA block with optional shifted windows and relative position
+    bias (Swin transformer; timm 'swin_base_patch4_window7_224')."""
+
+    dim: int
+    heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        w = self.window
+        h = LayerNorm(dtype=self.dtype, eps=1e-5, name="norm1")(x)
+        if self.shift:
+            h = jnp.roll(h, shift=(-self.shift, -self.shift), axis=(1, 2))
+        nh, nw = H // w, W // w
+        win = h.reshape(B, nh, w, nw, w, C).transpose(0, 1, 3, 2, 4, 5)
+        win = win.reshape(B * nh * nw, w * w, C)
+        hd = C // self.heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(win)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        nW = win.shape[0]
+        qh = q.reshape(nW, w * w, self.heads, hd)
+        kh = k.reshape(nW, w * w, self.heads, hd)
+        vh = v.reshape(nW, w * w, self.heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh).astype(jnp.float32)
+        # relative position bias table ((2w-1)^2, heads)
+        table = self.param(
+            "rel_bias", nn.initializers.normal(0.02),
+            ((2 * w - 1) ** 2, self.heads), jnp.float32,
+        )
+        coords = jnp.stack(jnp.meshgrid(jnp.arange(w), jnp.arange(w),
+                                        indexing="ij"), -1).reshape(-1, 2)
+        rel = coords[:, None] - coords[None, :] + (w - 1)
+        idx = rel[..., 0] * (2 * w - 1) + rel[..., 1]
+        attn = attn + table[idx].transpose(2, 0, 1)[None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(nW, w * w, C)
+        o = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(o)
+        o = o.reshape(B, nh, nw, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+        if self.shift:
+            o = jnp.roll(o, shift=(self.shift, self.shift), axis=(1, 2))
+        x = x + o
+        h = LayerNorm(dtype=self.dtype, eps=1e-5, name="norm2")(x)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_fc")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_proj")(h)
+        return x + h
+
+
+class SwinTrunk(nn.Module):
+    """Hierarchical Swin trunk (4x patch embed, patch-merging downsamples)."""
+
+    dims: Tuple[int, ...] = (128, 256, 512, 1024)
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Conv(self.dims[0], kernel_size=(4, 4), strides=(4, 4),
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(x.astype(self.dtype))
+        x = LayerNorm(dtype=self.dtype, eps=1e-5, name="embed_norm")(x)
+        for stage, (dim, depth, heads) in enumerate(
+            zip(self.dims, self.depths, self.heads)
+        ):
+            if stage > 0:
+                # patch merging: 2x2 neighborhood concat + linear reduce
+                B, H, W, C = x.shape
+                x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+                x = LayerNorm(dtype=self.dtype, eps=1e-5,
+                              name=f"merge_norm_{stage}")(x)
+                x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                             param_dtype=jnp.float32, name=f"merge_{stage}")(x)
+            for b in range(depth):
+                x = SwinBlock(
+                    dim=dim, heads=heads, window=self.window,
+                    shift=0 if b % 2 == 0 else self.window // 2,
+                    dtype=self.dtype, name=f"stage{stage}_block{b}",
+                )(x)
+        return LayerNorm(dtype=self.dtype, eps=1e-5, name="norm")(x)
 
 
 @dataclass(frozen=True)
@@ -195,6 +500,99 @@ for _sz in (256, 384):
     TRUNKS[f"vit_giantopt_patch16_siglip_{_sz}"] = _siglip_vit(1536, 40, 16, 16)
 # tiny siglip-style trunk for tests
 TRUNKS["vit_pico_patch16_siglip_test"] = _siglip_vit(64, 2, 2, 16)
+
+
+def _eva(width, layers, heads, patch):
+    return TrunkSpec(
+        build=lambda dtype, name=None: EVATrunk(
+            patch_size=patch, width=width, layers=layers, heads=heads,
+            dtype=dtype, name=name,
+        ),
+        reduction=patch,
+    )
+
+
+def _vitamin(conv_dims, conv_depths, vit_width, vit_layers, vit_heads):
+    return TrunkSpec(
+        build=lambda dtype, name=None: ViTaminTrunk(
+            conv_dims=conv_dims, conv_depths=conv_depths, vit_width=vit_width,
+            vit_layers=vit_layers, vit_heads=vit_heads, dtype=dtype, name=name,
+        ),
+        reduction=16,
+    )
+
+
+def _fastvit(dims, depths):
+    return TrunkSpec(
+        build=lambda dtype, name=None: FastViTTrunk(
+            dims=dims, depths=depths, dtype=dtype, name=name
+        ),
+        reduction=32,
+    )
+
+
+TRUNKS.update({
+    # EVA family (model_configs/EVA01*/EVA02*.json)
+    "eva02_base_patch16_clip_224": _eva(768, 12, 12, 16),
+    "eva02_large_patch14_clip_224": _eva(1024, 24, 16, 14),
+    "eva02_large_patch14_clip_336": _eva(1024, 24, 16, 14),
+    "eva02_enormous_patch14_clip_224": _eva(1792, 64, 16, 14),
+    "eva_giant_patch14_224": _eva(1408, 40, 16, 14),
+    "eva_pico_patch16_test": _eva(64, 2, 2, 16),
+    # PE-Core: plain ViT trunks + MAP pooling (model_configs/PE-Core-*.json)
+    "vit_pe_core_tiny_patch16_384": _siglip_vit(192, 12, 3, 16),
+    "vit_pe_core_small_patch16_384": _siglip_vit(384, 12, 6, 16),
+    "vit_pe_core_base_patch16_224": _siglip_vit(768, 12, 12, 16),
+    "vit_pe_core_large_patch14_336": _siglip_vit(1024, 24, 16, 14),
+    "vit_pe_core_gigantic_patch14_448": _siglip_vit(1536, 50, 16, 14),
+    # ViTamin hybrids (model_configs/ViTamin-*.json)
+    "vitamin_small_224": _vitamin((64, 128), (2, 4), 384, 14, 6),
+    "vitamin_base_224": _vitamin((128, 256), (2, 4), 768, 14, 12),
+    "vitamin_large_224": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large_256": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large_336": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large_384": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large2_224": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large2_256": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large2_336": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_large2_384": _vitamin((160, 320), (2, 4), 1024, 31, 16),
+    "vitamin_xlarge_256": _vitamin((192, 384), (2, 4), 1152, 32, 16),
+    "vitamin_xlarge_336": _vitamin((192, 384), (2, 4), 1152, 32, 16),
+    "vitamin_xlarge_384": _vitamin((192, 384), (2, 4), 1152, 32, 16),
+    "vitamin_pico_test": _vitamin((16, 32), (1, 1), 64, 2, 2),
+    # MobileCLIP image encoders (model_configs/MobileCLIP-*.json)
+    "fastvit_mci1": _fastvit((64, 128, 256, 512), (2, 6, 10, 2)),
+    "fastvit_mci2": _fastvit((80, 160, 320, 640), (2, 6, 10, 2)),
+    "fastvit_pico_test": _fastvit((16, 32, 64, 128), (1, 1, 1, 1)),
+    # MobileCLIP-B: ViT-B/16 (MCi stem approximated by the patch conv) with a
+    # class token for the config's 'token' pooling
+    "vit_base_mci_224": TrunkSpec(
+        build=lambda dtype, name=None: ViTTrunk(
+            patch_size=16, width=768, layers=12, heads=12, cls_token=True,
+            dtype=dtype, name=name,
+        ),
+        reduction=16,
+    ),
+    # relative-position ViT approximated with a learned-pos cls ViT
+    "vit_relpos_medium_patch16_cls_224": TrunkSpec(
+        build=lambda dtype, name=None: ViTTrunk(
+            patch_size=16, width=512, layers=12, heads=8, cls_token=True,
+            dtype=dtype, name=name,
+        ),
+        reduction=16,
+    ),
+    "swin_base_patch4_window7_224": TrunkSpec(
+        build=lambda dtype, name=None: SwinTrunk(dtype=dtype, name=name),
+        reduction=32,
+    ),
+    "swin_pico_test": TrunkSpec(
+        build=lambda dtype, name=None: SwinTrunk(
+            dims=(16, 32, 64, 128), depths=(1, 1, 1, 1), heads=(1, 2, 4, 8),
+            window=2, dtype=dtype, name=name,
+        ),
+        reduction=32,
+    ),
+})
 
 
 def list_timm_trunks():
@@ -350,23 +748,29 @@ class TimmStyleTower(nn.Module):
         spec = TRUNKS[self.model_name]
         trunk = spec.build(self.dtype, name="trunk")
         feat = trunk(images, deterministic=deterministic)
-        if feat.ndim == 3:  # token grid from ViT trunks -> (B, gh, gw, C)
-            B, L, C = feat.shape
-            g = int(L ** 0.5)
-            feat = feat.reshape(B, g, g, C)
-
-        if self.pool == "map":
-            x = MAPHead(dtype=self.dtype, name="attn_pool")(feat)
-        elif self.pool in ("abs_attn", "rot_attn"):
-            x = AttentionPool2dHead(
-                out_features=self.embed_dim,
-                rotary=self.pool == "rot_attn",
-                dtype=self.dtype,
-                name="attn_pool",
-            )(feat)
-        else:  # 'avg' or trunk-default
-            x = feat.mean(axis=(1, 2))
-            x = LayerNorm(dtype=self.dtype, eps=1e-6, name="head_norm")(x)
+        has_cls = feat.ndim == 3 and int(feat.shape[1] ** 0.5) ** 2 != feat.shape[1]
+        if self.pool == "token":
+            # class-token pooling (timm global_pool='token'; EVA/MobileCLIP)
+            x = feat[:, 0] if feat.ndim == 3 else feat.mean(axis=(1, 2))
+        else:
+            if feat.ndim == 3:  # token sequence -> (B, gh, gw, C)
+                if has_cls:
+                    feat = feat[:, 1:]
+                B, L, C = feat.shape
+                g = int(L ** 0.5)
+                feat = feat.reshape(B, g, g, C)
+            if self.pool == "map":
+                x = MAPHead(dtype=self.dtype, name="attn_pool")(feat)
+            elif self.pool in ("abs_attn", "rot_attn"):
+                x = AttentionPool2dHead(
+                    out_features=self.embed_dim,
+                    rotary=self.pool == "rot_attn",
+                    dtype=self.dtype,
+                    name="attn_pool",
+                )(feat)
+            else:  # 'avg' or trunk-default
+                x = feat.mean(axis=(1, 2))
+                x = LayerNorm(dtype=self.dtype, eps=1e-6, name="head_norm")(x)
 
         if self.drop > 0 and not deterministic:
             x = nn.Dropout(rate=self.drop)(x, deterministic=False)
@@ -385,6 +789,15 @@ class TimmStyleTower(nn.Module):
                 self.embed_dim, use_bias=self.proj_bias, dtype=self.dtype,
                 param_dtype=jnp.float32, name="head_mlp_proj",
             )(x)
+        elif self.proj in (None, ""):
+            # falsy-but-not-'none' proj: the reference routes this through
+            # the trunk's classifier head projecting to embed_dim
+            # (ref: timm_model.py:55-67 — num_classes=embed_dim)
+            if x.shape[-1] != self.embed_dim:
+                x = nn.Dense(
+                    self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="head_fc",
+                )(x)
         # proj == 'none': pass-through (dims must already match embed_dim
         # unless an attention pool projected them)
         return x

@@ -92,3 +92,47 @@ def test_full_train_step_with_timm_tower(rng):
     assert np.isfinite(float(val))
     leaves = jax.tree_util.tree_leaves(grads)
     assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)
+
+
+@pytest.mark.parametrize(
+    "trunk,pool,proj",
+    [
+        ("eva_pico_patch16_test", "token", None),
+        ("vitamin_pico_test", "", "linear"),
+        ("fastvit_pico_test", "avg", None),
+        ("swin_pico_test", "avg", "linear"),
+        ("vit_pico_patch16_siglip_test", "map", "none"),
+    ],
+)
+def test_new_trunk_families(rng, trunk, pool, proj):
+    """EVA (rope+SwiGLU), ViTamin (MBConv hybrid), FastViT (RepMixer),
+    Swin (shifted-window MSA) and siglip-MAP trunks construct, run, and
+    project to embed_dim (ref: EVA*/ViTamin-*/MobileCLIP-*/PE-Core-*/swin
+    model configs via timm_model.py)."""
+    b = create_model(
+        "convnext_base", precision="fp32", seed=0,
+        embed_dim=64,
+        vision_cfg=dict(timm_model_name=trunk, image_size=64, timm_pool=pool,
+                        timm_proj=proj),
+        text_cfg=dict(width=32, heads=2, layers=1, vocab_size=64,
+                      context_length=8),
+    )
+    img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(b.encode_image(img, normalize=False))
+    assert out.shape == (2, 64)
+    assert np.isfinite(out).all()
+
+
+def test_full_config_inventory_resolves():
+    """Every shipped model config must resolve and (when timm-based) have a
+    registered trunk — the reference's full 138-config surface."""
+    from spatial_clip_tpu.models.config import resolve_clip_cfg
+    from spatial_clip_tpu.models.timm_model import TRUNKS
+
+    models = list_models()
+    assert len(models) >= 138
+    for name in models:
+        cfg = resolve_clip_cfg(name)
+        tm = cfg.vision_cfg.timm_model_name
+        if tm:
+            assert tm in TRUNKS, f"{name}: trunk {tm} not registered"
