@@ -359,3 +359,54 @@ def load_big_vision_npz(path: Path, reference_params: Dict[str, Any]) -> Dict[st
     if unexpected:
         log.warning("big_vision: %d unmapped keys e.g. %s", len(unexpected), unexpected[:5])
     return _unflatten(fitted)
+
+
+def convert_mobileclip_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remap an Apple MobileCLIP checkpoint's keys to open_clip layout
+    (ref: src/open_clip/convert.py:199-252 ``convert_mobile_clip_state_dict``).
+
+    The text encoder is a standard CLIP text transformer under renamed keys
+    and maps exactly; the image trunk (FastViT/MCi) is returned under
+    ``visual.trunk.*`` for the caller to adapt (our fastvit trunks are
+    capability-equivalent, not parameter-compatible, so image weights are
+    surfaced but not auto-fitted).
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("text_encoder."):
+            k = k[len("text_encoder."):]
+            k = k.replace("projection_layer", "text_projection")
+            k = k.replace("embedding_layer", "token_embedding")
+            if k.startswith("positional_embedding.pos_embed.pos_embed"):
+                k = k.replace(
+                    "positional_embedding.pos_embed.pos_embed",
+                    "positional_embedding",
+                )
+                v = np.squeeze(v)
+            k = k.replace("final_layer_norm", "ln_final")
+            k = k.replace("pre_norm_mha.0", "ln_1")
+            k = k.replace("pre_norm_mha.1", "attn")
+            k = k.replace("pre_norm_ffn.0", "ln_2")
+            k = k.replace("pre_norm_ffn.1", "mlp.c_fc")
+            k = k.replace("pre_norm_ffn.4", "mlp.c_proj")
+            k = k.replace("qkv_proj.weight", "in_proj_weight")
+            k = k.replace("qkv_proj.bias", "in_proj_bias")
+            k = k.replace("transformer.", "transformer.resblocks.")
+            out["text." + k] = v
+        elif k.startswith("image_encoder."):
+            out["visual.trunk." + k[len("image_encoder."):]] = v
+        elif k == "logit_scale":
+            out[k] = v
+    return out
+
+
+def detect_checkpoint_flavor(sd: Dict[str, np.ndarray]) -> str:
+    """Classify a loaded state dict (ref: convert.py:199-207 detection)."""
+    if "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight" in sd or \
+            "image_encoder.model.patch_emb.0.block.conv.weight" in sd:
+        return "mobileclip"
+    if any(k.startswith("visual.transformer.resblocks.") for k in sd):
+        return "open_clip"
+    if any(k.startswith("text_encoder.") for k in sd):
+        return "mobileclip"
+    return "unknown"

@@ -130,3 +130,42 @@ def test_big_vision_npz_roundtrip(tmp_path):
     out = bundle(img, txt)
     assert np.isfinite(np.asarray(out["image_features"])).all()
     assert np.isfinite(np.asarray(out["text_features"])).all()
+
+
+def test_mobileclip_text_key_remap():
+    """MobileCLIP text-encoder key remap (ref: convert.py:210-240)."""
+    from spatial_clip_tpu.models.convert import (
+        convert_mobileclip_state_dict,
+        detect_checkpoint_flavor,
+    )
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "text_encoder.projection_layer.weight": rng.normal(size=(64, 128)),
+        "text_encoder.embedding_layer.weight": rng.normal(size=(100, 128)),
+        "text_encoder.positional_embedding.pos_embed.pos_embed":
+            rng.normal(size=(1, 77, 128)),
+        "text_encoder.final_layer_norm.weight": rng.normal(size=128),
+        "text_encoder.transformer.0.pre_norm_mha.0.weight": rng.normal(size=128),
+        "text_encoder.transformer.0.pre_norm_mha.1.qkv_proj.weight":
+            rng.normal(size=(384, 128)),
+        "text_encoder.transformer.0.pre_norm_ffn.1.weight":
+            rng.normal(size=(512, 128)),
+        "text_encoder.transformer.0.pre_norm_ffn.4.weight":
+            rng.normal(size=(128, 512)),
+        "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight":
+            rng.normal(size=(16, 3, 3, 3)),
+        "logit_scale": np.asarray(4.6),
+    }
+    assert detect_checkpoint_flavor(sd) == "mobileclip"
+    out = convert_mobileclip_state_dict(sd)
+    assert "text.text_projection.weight" in out
+    assert "text.token_embedding.weight" in out
+    assert out["text.positional_embedding"].shape == (77, 128)
+    assert "text.ln_final.weight" in out
+    assert "text.transformer.resblocks.0.ln_1.weight" in out
+    assert "text.transformer.resblocks.0.attn.in_proj_weight" in out
+    assert "text.transformer.resblocks.0.mlp.c_fc.weight" in out
+    assert "text.transformer.resblocks.0.mlp.c_proj.weight" in out
+    assert any(k.startswith("visual.trunk.") for k in out)
+    assert out["logit_scale"] == sd["logit_scale"]
