@@ -109,11 +109,13 @@ def main():
                 "detail": {
                     "model": model_name,
                     "tower_note": (
-                        "gene-MLP tower (north-star config 1)"
+                        "gene-MLP tower (north-star config 1): 1.55x"
+                        " target; synthetic retrieval scales with data but"
+                        " parity unproven (docs/experiments.md)"
                         if "GeneMLP" in model_name
                         else "text transformer (reference parity); the"
-                        " gene-MLP flagship measures 3585 pairs/sec/chip"
-                        " (1.29x target) — see docs/experiments.md"
+                        " gene-MLP flagship measures 4332 pairs/sec/chip"
+                        " (1.55x target) — see docs/experiments.md"
                     ),
                     "global_batch": B,
                     "n_chips": n_dev,

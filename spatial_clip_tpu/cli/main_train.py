@@ -52,6 +52,15 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--use-spatial-dataset", action="store_true")
     p.add_argument("--k-neighbors", type=int, default=6)
+    p.add_argument("--train-num-samples", type=int, default=None,
+                   help="cap/declare the train set size (ref: params.py)")
+    p.add_argument("--val-num-samples", type=int, default=None)
+    p.add_argument("--dataset-resampled", action="store_true",
+                   help="sample shards with replacement (ref: data.py "
+                        "ResampledShards2)")
+    p.add_argument("--train-data-upsampling-factors", default=None,
+                   help="':'-separated per-source weights (alternative to "
+                        "'::'-weighted --train-data)")
     # model
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--pretrained", default="")
@@ -59,11 +68,30 @@ def parse_args(args=None) -> argparse.Namespace:
                    choices=["bf16", "fp32", "amp_bf16", "pure_bf16", "float32"])
     p.add_argument("--force-quick-gelu", action="store_true")
     p.add_argument("--grad-checkpointing", action="store_true")
-    p.add_argument("--lock-image-tower", action="store_true",
+    p.add_argument("--lock-image-tower", "--lock-image", action="store_true",
+                   dest="lock_image_tower",
                    help="LiT-style frozen image tower (ref: main.py:276-287)")
-    p.add_argument("--lock-text-tower", action="store_true")
+    p.add_argument("--lock-text-tower", "--lock-text", action="store_true",
+                   dest="lock_text_tower")
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0,
+                   help="leave the last N vision blocks trainable when "
+                        "locking (ref: params.py --lock-image-unlocked-groups)")
+    p.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    p.add_argument("--force-patch-dropout", type=float, default=None,
+                   help="override the config's patch_dropout (ref: params.py)")
+    p.add_argument("--force-custom-text", action="store_true",
+                   help="accepted for parity; one tower implementation here")
+    p.add_argument("--cache-dir", default=None,
+                   help="pretrained checkpoint cache dir")
     p.add_argument("--gene-vocab", default=None)
     p.add_argument("--bpe-path", default=None)
+    # distillation (ref: params.py --distill-model/--distill-pretrained,
+    # main.py distill branch; losses.DistillClipLoss exists)
+    p.add_argument("--distill-model", default=None)
+    p.add_argument("--distill-pretrained", default=None)
+    # CoCa loss weights (ref: params.py --coca-*-loss-weight)
+    p.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
+    p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
     # optimization
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=32)
@@ -76,6 +104,10 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--warmup", type=int, default=10000)
     p.add_argument("--lr-scheduler", default="cosine",
                    choices=["cosine", "const", "const-cooldown"])
+    p.add_argument("--epochs-cooldown", type=int, default=None,
+                   help="cooldown epochs for const-cooldown (ref: params.py)")
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
     p.add_argument("--grad-clip-norm", type=float, default=None)
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--accum-mode", choices=["cached", "simple"], default="cached")
@@ -98,6 +130,25 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--name", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--save-frequency", type=int, default=1)
+    p.add_argument("--save-most-recent", action="store_true", default=True,
+                   help="keep an always-current latest checkpoint "
+                        "(ref: params.py --save-most-recent)")
+    p.add_argument("--delete-previous-checkpoint", action="store_true",
+                   help="keep only the newest step checkpoint (keep=1)")
+    p.add_argument("--copy-codebase", action="store_true",
+                   help="snapshot the package source into the run dir "
+                        "(ref: main.py:584 copy_codebase)")
+    p.add_argument("--debug", action="store_true", help="DEBUG-level logging")
+    # torch/CUDA-runtime flags accepted for drop-in parity; no-ops on TPU
+    # (jit replaces torchscript/compile; XLA owns device placement; collective
+    # backends are ICI/DCN via JAX). A warning is logged when they are set.
+    for noop in ("--torchscript", "--torchcompile", "--trace", "--horovod",
+                 "--use-bn-sync", "--ddp-static-graph", "--no-set-device-rank",
+                 "--use-bnb-linear", "--log-local"):
+        p.add_argument(noop, action="store_true", help="no-op on TPU (parity)")
+    p.add_argument("--device", default=None, help="no-op on TPU (parity)")
+    p.add_argument("--dist-backend", default=None, help="no-op (JAX collectives)")
+    p.add_argument("--dist-url", default=None, help="no-op (JAX runtime)")
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--report-to", default="csv,jsonl")
     p.add_argument("--remote-sync", default=None,
@@ -136,6 +187,39 @@ def _detect_dataset_type(args) -> str:
     return "synthetic"
 
 
+def _lock_prefixes(bundle, args) -> tuple:
+    """Tower-locking prefixes incl. partial unlocking of the last N blocks
+    (ref: params.py --lock-image-unlocked-groups/--lock-text-unlocked-layers,
+    model.py lock methods)."""
+    prefixes = []
+    v = bundle.cfg.vision_cfg
+    t = bundle.cfg.text_cfg
+    if args.lock_image_tower:
+        n = args.lock_image_unlocked_groups
+        if n and isinstance(v.layers, int):
+            prefixes += [
+                "visual/conv1", "visual/class_embedding",
+                "visual/positional_embedding", "visual/ln_pre",
+            ]
+            prefixes += [
+                f"visual/transformer/resblocks_{i}"
+                for i in range(max(v.layers - n, 0))
+            ]
+        else:
+            prefixes.append("visual")
+    if args.lock_text_tower:
+        n = args.lock_text_unlocked_layers
+        if n and t is not None:
+            prefixes += ["text/token_embedding", "text/positional_embedding"]
+            prefixes += [
+                f"text/transformer/resblocks_{i}"
+                for i in range(max(t.layers - n, 0))
+            ]
+        else:
+            prefixes.append("text")
+    return tuple(prefixes)
+
+
 def main(args=None):
     from spatial_clip_tpu.data.datamodule import SpatialClipDataModule
     from spatial_clip_tpu.losses import make_loss
@@ -155,6 +239,28 @@ def main(args=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     setup_logging(str(out_dir / "out.log"))
 
+    if args.debug:
+        logging.getLogger().setLevel(logging.DEBUG)
+    for noop in ("torchscript", "torchcompile", "trace", "horovod",
+                 "use_bn_sync", "ddp_static_graph", "no_set_device_rank",
+                 "use_bnb_linear"):
+        if getattr(args, noop, False):
+            log.warning("--%s is a torch-runtime flag; no-op on TPU",
+                        noop.replace("_", "-"))
+    if args.copy_codebase:
+        # snapshot the package into the run dir (ref: main.py:584)
+        import shutil
+
+        import spatial_clip_tpu as pkg
+
+        shutil.copytree(
+            Path(pkg.__file__).parent, out_dir / "code" / "spatial_clip_tpu",
+            ignore=shutil.ignore_patterns("__pycache__"), dirs_exist_ok=True,
+        )
+
+    overrides = {}
+    if args.force_patch_dropout is not None:
+        overrides["vision_cfg"] = {"patch_dropout": args.force_patch_dropout}
     bundle, pp_train, pp_val = create_model_and_transforms(
         args.model,
         pretrained=args.pretrained or None,
@@ -162,7 +268,17 @@ def main(args=None):
         force_quick_gelu=args.force_quick_gelu,
         remat=args.grad_checkpointing,
         seed=args.seed,
+        **overrides,
     )
+
+    teacher = None
+    if args.distill_model:
+        from spatial_clip_tpu.models.factory import create_model as _create
+
+        teacher = _create(
+            args.distill_model, pretrained=args.distill_pretrained or None,
+            precision=args.precision, seed=args.seed,
+        )
     tokenizer = get_tokenizer(
         args.model, gene_vocab=args.gene_vocab, bpe_path=args.bpe_path
     )
@@ -175,7 +291,7 @@ def main(args=None):
     format_kwargs = {}
     if fmt == "synthetic":
         format_kwargs = {
-            "num_samples": args.synthetic_num_samples,
+            "num_samples": args.train_num_samples or args.synthetic_num_samples,
             "image_size": args.synthetic_image_size,
         }
     dm = SpatialClipDataModule(
@@ -237,7 +353,9 @@ def main(args=None):
         dm.setup("fit")
 
     # loss selection (ref: main.py:505-524)
-    if args.use_spatial_loss:
+    if teacher is not None:
+        loss = make_loss("distill", float32_logits=args.float32_logits)
+    elif args.use_spatial_loss:
         loss = make_loss(
             "spatial",
             cap_logit_scale=args.cap_logit_scale,
@@ -267,13 +385,22 @@ def main(args=None):
         seed=args.seed,
         log_every=args.log_every_n_steps,
         ckpt_dir=str(out_dir / "checkpoints"),
-        keep_ckpts=3,
-        frozen_prefixes=tuple(
-            (["visual"] if args.lock_image_tower else [])
-            + (["text"] if args.lock_text_tower else [])
-        ),
+        keep_ckpts=1 if args.delete_previous_checkpoint else 3,
+        frozen_prefixes=_lock_prefixes(bundle, args),
+        extra={
+            "schedule_kwargs": (
+                {
+                    "cooldown_steps": (args.epochs_cooldown or 0)
+                    * max(steps_per_epoch, 1),
+                    "cooldown_power": args.lr_cooldown_power,
+                    "cooldown_end_lr": args.lr_cooldown_end,
+                }
+                if args.lr_scheduler == "const-cooldown" and args.epochs_cooldown
+                else {}
+            )
+        },
     )
-    trainer = Trainer(bundle, loss=loss, config=cfg)
+    trainer = Trainer(bundle, loss=loss, config=cfg, teacher=teacher)
     loggers = make_loggers(args.report_to, str(out_dir))
 
     sync_proc = None

@@ -123,11 +123,15 @@ class Trainer:
         loss: Optional[LossFn] = None,
         config: Optional[TrainerConfig] = None,
         mesh: Optional[Mesh] = None,
+        teacher=None,
     ):
         self.bundle = bundle
         self.loss = loss or make_loss("clip")
         self.cfg = config or TrainerConfig()
         self.mesh = mesh or make_mesh()
+        # optional frozen teacher bundle for distillation
+        # (ref: main.py --distill-model path, loss.py DistillClipLoss)
+        self.teacher = teacher
         self.tx, self.schedule = make_optimizer(
             bundle.params,
             learning_rate=self.cfg.learning_rate,
@@ -139,6 +143,10 @@ class Trainer:
             warmup_steps=self.cfg.warmup_steps,
             total_steps=self.cfg.total_steps,
             frozen_prefixes=tuple(self.cfg.frozen_prefixes or ()),
+            # schedule tail knobs, e.g. cooldown_steps/power/end_lr for
+            # const-cooldown (ref: params.py --epochs-cooldown,
+            # --lr-cooldown-power, --lr-cooldown-end)
+            **(self.cfg.extra.get("schedule_kwargs") or {}),
         )
         self.metrics = ContrastiveMetrics()
         self.ckpt = (
@@ -186,8 +194,26 @@ class Trainer:
             rngs=None if deterministic else {"dropout": rng_drop},
         )
 
+    def _teacher_features(self, batch, rng):
+        """Distillation teacher forward (ref: open_clip_train main.py distill
+        branch + loss.py:203-239): deterministic, grad-free features keyed as
+        the DistillClipLoss expects; filtered out for non-distill losses."""
+        t = self.teacher
+        images = _prepare_images(
+            batch["images"], t.preprocess_cfg.mean, t.preprocess_cfg.std,
+            t.model.dtype, None, rng,
+        )
+        out = t.model.apply({"params": t.params}, images, batch["texts"], True)
+        return {
+            "dist_image_features": jax.lax.stop_gradient(out["image_features"]),
+            "dist_text_features": jax.lax.stop_gradient(out["text_features"]),
+            "dist_logit_scale": jax.lax.stop_gradient(out["logit_scale"]),
+        }
+
     def _loss_and_metrics(self, params, batch, rng, deterministic=False):
         features = self._forward_features(params, batch, rng, deterministic)
+        if self.teacher is not None:
+            features = {**features, **self._teacher_features(batch, rng)}
         loss_out = self.loss(**{**batch, **features})
         loss = loss_out["contrastive_loss"]
         # in-batch logits for R@k (ref: spatial_clip_module.py:68-70)

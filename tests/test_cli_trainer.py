@@ -114,3 +114,41 @@ def test_remote_sync_unit(tmp_path):
     assert (dst / "a.txt").read_text() == "hello"
     assert not (dst / "step_latest.tmp").exists()
     assert not remote_sync(str(src), str(dst), "bogus")
+
+
+def test_distillation_and_partial_locking(tmp_path):
+    """--distill-model trains a student against a frozen teacher through
+    DistillClipLoss (ref: main.py distill branch, loss.py:203-239); partial
+    tower locking leaves the last N blocks trainable (ref: params.py
+    --lock-image-unlocked-groups)."""
+    metrics = main_train.main(
+        [
+            "--model", "ViT-Test", "--precision", "fp32",
+            "--dataset-type", "synthetic",
+            "--synthetic-num-samples", "32", "--synthetic-image-size", "32",
+            "--batch-size", "8", "--epochs", "1", "--steps-per-epoch", "2",
+            "--warmup", "1", "--log-every-n-steps", "1",
+            "--logs", str(tmp_path), "--name", "d",
+            "--distill-model", "ViT-Test",
+            "--lock-image-tower", "--lock-image-unlocked-groups", "1",
+            "--delete-previous-checkpoint",
+        ]
+    )
+    import numpy as np
+    assert np.isfinite(metrics["loss"])
+
+
+def test_lock_prefix_generation():
+    from spatial_clip_tpu import create_model
+
+    bundle = create_model("ViT-Test", precision="fp32", seed=0)
+    ns = main_train.parse_args(
+        ["--lock-image-tower", "--lock-image-unlocked-groups", "1",
+         "--lock-text-tower"]
+    )
+    prefixes = main_train._lock_prefixes(bundle, ns)
+    assert "text" in prefixes
+    assert "visual/transformer/resblocks_0" in prefixes
+    # the last vision block stays trainable
+    n_layers = bundle.cfg.vision_cfg.layers
+    assert f"visual/transformer/resblocks_{n_layers - 1}" not in prefixes
