@@ -39,6 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fwd-cap", type=int, default=None)
     ap.add_argument("--bwd-cap", type=int, default=None)
+    ap.add_argument("--group-lanes", type=int, default=None)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
@@ -52,6 +53,8 @@ def main():
         fa.FWD_BLOCK_CAP = args.fwd_cap
     if args.bwd_cap:
         fa.BWD_BLOCK_CAP = args.bwd_cap
+    if args.group_lanes:
+        fa.GROUP_LANES = args.group_lanes
 
     rng = np.random.default_rng(0)
     results = {}
@@ -97,7 +100,7 @@ def main():
         }
         results[tag] = r
         print(tag, json.dumps(r), flush=True)
-    print(json.dumps({"fwd_cap": fa.FWD_BLOCK_CAP, "bwd_cap": fa.BWD_BLOCK_CAP,
+    print(json.dumps({"fwd_cap": fa.FWD_BLOCK_CAP, "bwd_cap": fa.BWD_BLOCK_CAP, "group_lanes": fa.GROUP_LANES,
                       "results": results}))
 
 

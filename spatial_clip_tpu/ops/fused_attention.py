@@ -194,15 +194,25 @@ def _pick_block_b(B: int, cap: int = 32) -> int:
     return 1
 
 
-def heads_per_block(heads: int, head_dim: int):
+# lanes per head group (multiple of 128). 256 halves the grid steps at 2x
+# VMEM per step — tunable via the kernel microbench.
+GROUP_LANES = 128
+
+
+def heads_per_block(heads: int, head_dim: int, lanes: int = None):
     """Lane-group size satisfying Mosaic's 128-divisibility; None if the
     shape can't be grouped (caller should fall back to the XLA path)."""
+    lanes = lanes or GROUP_LANES
     if head_dim >= 128:
         return 1 if head_dim % 128 == 0 else None
     if 128 % head_dim != 0:
         return None
-    hpb = 128 // head_dim
-    return hpb if heads % hpb == 0 else None
+    hpb = lanes // head_dim
+    while hpb > 1 and heads % hpb != 0:
+        hpb //= 2
+    if heads % hpb != 0 or (hpb * head_dim) % 128 != 0:
+        return None
+    return hpb
 
 
 def supported(heads: int, dim: int) -> bool:
