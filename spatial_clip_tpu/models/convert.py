@@ -91,9 +91,98 @@ def _convert_block(sd: Dict[str, np.ndarray], tprefix: str, jprefix: str, out: D
             out[f"{jprefix}/{ls_j}"] = sd[f"{tprefix}.{ls_t}"]
 
 
+def _rn_bn(sd: Dict[str, np.ndarray], tkey: str, out: Dict[str, np.ndarray], jkey: str):
+    """torch BatchNorm2d -> FrozenBatchNorm params."""
+    out[f"{jkey}/scale"] = sd[f"{tkey}.weight"]
+    out[f"{jkey}/bias"] = sd[f"{tkey}.bias"]
+    out[f"{jkey}/mean"] = sd[f"{tkey}.running_mean"]
+    out[f"{jkey}/var"] = sd[f"{tkey}.running_var"]
+
+
+def _convert_rn_visual(sd: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
+    """OpenAI ModifiedResNet vision tower: torch `visual.` -> flax `visual/`
+    (ref: src/open_clip/modified_resnet.py:96-236; stem convs + 4 stages of
+    Bottlenecks + AttentionPool2d)."""
+    conv_t = lambda w: w.transpose(2, 3, 1, 0)  # noqa: E731 OIHW -> HWIO
+    for i in (1, 2, 3):
+        out[f"visual/conv{i}/kernel"] = conv_t(sd[f"visual.conv{i}.weight"])
+        _rn_bn(sd, f"visual.bn{i}", out, f"visual/bn{i}")
+    for stage in (1, 2, 3, 4):
+        b = 0
+        while f"visual.layer{stage}.{b}.conv1.weight" in sd:
+            t = f"visual.layer{stage}.{b}"
+            j = f"visual/layer{stage}_{b}"
+            for c in (1, 2, 3):
+                out[f"{j}/conv{c}/kernel"] = conv_t(sd[f"{t}.conv{c}.weight"])
+                _rn_bn(sd, f"{t}.bn{c}", out, f"{j}/bn{c}")
+            if f"{t}.downsample.0.weight" in sd:
+                out[f"{j}/downsample_conv/kernel"] = conv_t(sd[f"{t}.downsample.0.weight"])
+                _rn_bn(sd, f"{t}.downsample.1", out, f"{j}/downsample_bn")
+            b += 1
+    ap = "visual.attnpool"
+    out["visual/attnpool/positional_embedding"] = sd[f"{ap}.positional_embedding"]
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        out[f"visual/attnpool/{p}/kernel"] = sd[f"{ap}.{p}.weight"].T
+        out[f"visual/attnpool/{p}/bias"] = sd[f"{ap}.{p}.bias"]
+
+
+def _export_rn_visual(flat: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
+    """Inverse of :func:`_convert_rn_visual` (flax `visual/` -> torch keys)."""
+    conv_t = lambda w: w.transpose(3, 2, 0, 1)  # noqa: E731 HWIO -> OIHW
+
+    def put_bn(jkey: str, tkey: str):
+        out[f"{tkey}.weight"] = flat[f"{jkey}/scale"]
+        out[f"{tkey}.bias"] = flat[f"{jkey}/bias"]
+        out[f"{tkey}.running_mean"] = flat[f"{jkey}/mean"]
+        out[f"{tkey}.running_var"] = flat[f"{jkey}/var"]
+
+    for i in (1, 2, 3):
+        out[f"visual.conv{i}.weight"] = conv_t(flat[f"visual/conv{i}/kernel"])
+        put_bn(f"visual/bn{i}", f"visual.bn{i}")
+    for stage in (1, 2, 3, 4):
+        b = 0
+        while f"visual/layer{stage}_{b}/conv1/kernel" in flat:
+            j = f"visual/layer{stage}_{b}"
+            t = f"visual.layer{stage}.{b}"
+            for c in (1, 2, 3):
+                out[f"{t}.conv{c}.weight"] = conv_t(flat[f"{j}/conv{c}/kernel"])
+                put_bn(f"{j}/bn{c}", f"{t}.bn{c}")
+            if f"{j}/downsample_conv/kernel" in flat:
+                out[f"{t}.downsample.0.weight"] = conv_t(flat[f"{j}/downsample_conv/kernel"])
+                put_bn(f"{j}/downsample_bn", f"{t}.downsample.1")
+            b += 1
+    out["visual.attnpool.positional_embedding"] = flat["visual/attnpool/positional_embedding"]
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        out[f"visual.attnpool.{p}.weight"] = flat[f"visual/attnpool/{p}/kernel"].T
+        out[f"visual.attnpool.{p}.bias"] = flat[f"visual/attnpool/{p}/bias"]
+
+
+def _convert_text_tower(sd: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
+    """CLIP text tower at the state-dict top level -> flax `text/`."""
+    n_txt = max(
+        (int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")),
+        default=-1,
+    ) + 1
+    out["text/token_embedding/embedding"] = sd["token_embedding.weight"]
+    out["text/positional_embedding"] = sd["positional_embedding"]
+    out["text/ln_final/scale"] = sd["ln_final.weight"]
+    out["text/ln_final/bias"] = sd["ln_final.bias"]
+    out["text/text_projection"] = sd["text_projection"]
+    for i in range(n_txt):
+        _convert_block(
+            sd, f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}", out
+        )
+
+
 def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Convert an open_clip CLIP state dict to our flax params tree."""
     out: Dict[str, np.ndarray] = {}
+    if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet vision tower
+        _convert_rn_visual(sd, out)
+        if "token_embedding.weight" in sd:
+            _convert_text_tower(sd, out)
+        out["logit_scale"] = sd["logit_scale"].reshape(())
+        return _unflatten(out)
     n_vis = max(
         (int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")),
         default=-1,
@@ -113,19 +202,7 @@ def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         )
 
     if "token_embedding.weight" in sd:  # CLIP text tower at top level
-        n_txt = max(
-            (int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")),
-            default=-1,
-        ) + 1
-        out["text/token_embedding/embedding"] = sd["token_embedding.weight"]
-        out["text/positional_embedding"] = sd["positional_embedding"]
-        out["text/ln_final/scale"] = sd["ln_final.weight"]
-        out["text/ln_final/bias"] = sd["ln_final.bias"]
-        out["text/text_projection"] = sd["text_projection"]
-        for i in range(n_txt):
-            _convert_block(
-                sd, f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}", out
-            )
+        _convert_text_tower(sd, out)
 
     out["logit_scale"] = sd["logit_scale"].reshape(())
     if "logit_bias" in sd:
@@ -151,6 +228,21 @@ def jax_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         out[f"{tprefix}.mlp.c_fc.bias"] = flat[f"{jprefix}/mlp/c_fc/bias"]
         out[f"{tprefix}.mlp.c_proj.weight"] = flat[f"{jprefix}/mlp/c_proj/kernel"].T
         out[f"{tprefix}.mlp.c_proj.bias"] = flat[f"{jprefix}/mlp/c_proj/bias"]
+
+    if "visual/layer1_0/conv1/kernel" in flat:  # ModifiedResNet tower
+        _export_rn_visual(flat, out)
+        if "text/token_embedding/embedding" in flat:
+            i = 0
+            while f"text/transformer/resblocks_{i}/ln_1/scale" in flat:
+                put_block(f"text/transformer/resblocks_{i}", f"transformer.resblocks.{i}")
+                i += 1
+            out["token_embedding.weight"] = flat["text/token_embedding/embedding"]
+            out["positional_embedding"] = flat["text/positional_embedding"]
+            out["ln_final.weight"] = flat["text/ln_final/scale"]
+            out["ln_final.bias"] = flat["text/ln_final/bias"]
+            out["text_projection"] = flat["text/text_projection"]
+        out["logit_scale"] = flat["logit_scale"]
+        return out
 
     i = 0
     while f"visual/transformer/resblocks_{i}/ln_1/scale" in flat:

@@ -132,9 +132,12 @@ class ModifiedResNet(nn.Module):
         w = self.width
 
         def stem_conv(f, stride, name):
+            # torch pads (1,1) explicitly; SAME would pad (0,1) for stride 2
+            # which shifts the grid and breaks checkpoint parity
             return nn.Conv(
-                f, (3, 3), strides=(stride, stride), padding="SAME", use_bias=False,
-                dtype=self.dtype, param_dtype=jnp.float32, name=name,
+                f, (3, 3), strides=(stride, stride), padding=((1, 1), (1, 1)),
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name=name,
             )
 
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(stem_conv(w // 2, 2, "conv1")(x)))

@@ -174,6 +174,53 @@ def test_bpe_bit_parity_vs_reference(ref):
         assert our_tok.encode(t) == ref_tok.encode(t), t[:50]
 
 
+def test_rn50_style_convert_parity(ref, sample_inputs, tmp_path):
+    """ModifiedResNet tower: torch random init -> convert -> embedding parity
+    (ref: modified_resnet.py:96-236; stem pad + frozen BN + attnpool)."""
+    from spatial_clip_tpu import create_model
+    from spatial_clip_tpu.models.convert import (
+        convert_torch_checkpoint,
+        jax_to_torch_state_dict,
+    )
+
+    images, tokens = sample_inputs
+    torch.manual_seed(0)
+    tm = ref.model.CLIP(
+        embed_dim=64,
+        vision_cfg=ref.model.CLIPVisionCfg(
+            layers=(1, 1, 1, 1), width=16, image_size=32
+        ),
+        text_cfg=ref.model.CLIPTextCfg(**SMALL["text"]),
+    )
+    tm.eval()
+    ckpt = tmp_path / "rn.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    bundle = create_model(
+        "RN-Test",
+        precision="fp32",
+        seed=0,
+        embed_dim=64,
+        vision_cfg=dict(layers=[1, 1, 1, 1], width=16, image_size=32),
+        text_cfg=dict(SMALL["text"]),
+    )
+    bundle.params = convert_torch_checkpoint(ckpt, bundle.params)
+
+    t_img, t_txt = _embed_torch(tm, images, tokens)
+    j_img, j_txt = _embed_ours(bundle, images, tokens)
+    np.testing.assert_allclose(j_img, t_img, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(j_txt, t_txt, atol=5e-4, rtol=5e-4)
+
+    # export direction: the reference model must strict-load everything
+    # learnable we emit
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in jax_to_torch_state_dict(bundle.params).items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, f"exported keys the reference rejects: {unexpected}"
+    learnable = {n for n, _ in tm.named_parameters()}
+    assert not (set(missing) & learnable), set(missing) & learnable
+
+
 def test_vit_b32_convert_parity(ref, tmp_path):
     """Full-size ViT-B/32: the flagship layout, random torch init -> ours."""
     from spatial_clip_tpu import create_model
