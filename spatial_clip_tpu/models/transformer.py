@@ -139,6 +139,42 @@ class MultiHeadAttention(nn.Module):
             self.qk_norm or self.scaled_cosine
         ):
             return self._fold_attention(x, attn_mask)
+        if impl == "pallas_inter":
+            # Interleaved-layout fused attention: the qkv projection weight's
+            # columns are statically permuted so each head group's q|k|v
+            # lanes are contiguous — the kernel DMAs one contiguous block
+            # per grid step and the backward emits dqkv as a single write
+            # (no XLA concatenate / dynamic-update-slice family). The param
+            # tree keeps the standard [q|k|v] order, so checkpoints are
+            # unaffected; the (D,3D) weight gather folds into XLA's fusions.
+            from spatial_clip_tpu.ops import fused_attention as fa
+
+            mask2d = None
+            ok = fa.supported(self.heads, self.width)
+            if attn_mask is not None:
+                lead = attn_mask.shape[:-2]
+                if all(s == 1 for s in lead):
+                    mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+                else:
+                    ok = False
+            if ok:
+                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                perm = jnp.asarray(
+                    fa.interleave_perm(self.heads, head_dim), jnp.int32
+                )
+                qkv_i = (
+                    x @ jnp.take(kernel, perm, axis=1).astype(self.dtype)
+                    + jnp.take(bias, perm).astype(self.dtype)
+                )
+                ctx = fa.fused_attention(
+                    qkv_i, mask2d, self.heads,
+                    jax.default_backend() != "tpu", True,
+                )
+                return nn.Dense(
+                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="out",
+                )(ctx)
+            impl = "einsum"
         qkv = nn.Dense(
             3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)

@@ -187,6 +187,86 @@ def _bwd_kernel_slab(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, heads):
     dqkv_ref[:] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
+def _fwd_kernel_inter(qkv_ref, mask_ref, o_ref, *, scale, hd, hpb):
+    """Interleaved-layout forward: the block holds one head group's q|k|v
+    contiguously (lanes [q_g | k_g | v_g], 3*lanes wide) — one DMA per grid
+    step instead of three strided ones."""
+    mask = mask_ref[:]
+    lanes = hpb * hd
+    outs = []
+    for s in range(hpb):
+        q = qkv_ref[:, :, s * hd:(s + 1) * hd]
+        k = qkv_ref[:, :, lanes + s * hd:lanes + (s + 1) * hd]
+        v = qkv_ref[:, :, 2 * lanes + s * hd:2 * lanes + (s + 1) * hd]
+        outs.append(_one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype))
+    o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel_inter(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, hpb):
+    """Interleaved-layout backward: dq/dk/dv for the whole head group are
+    emitted as ONE (bB, L, 3*lanes) write — no XLA concatenate (the profiled
+    2ms dynamic-update-slice family) ever materializes dqkv."""
+    mask = mask_ref[:]
+    lanes = hpb * hd
+    dqs, dks, dvs = [], [], []
+    for sub in range(hpb):
+        q = qkv_ref[:, :, sub * hd:(sub + 1) * hd]
+        k = qkv_ref[:, :, lanes + sub * hd:lanes + (sub + 1) * hd]
+        v = qkv_ref[:, :, 2 * lanes + sub * hd:2 * lanes + (sub + 1) * hd]
+        do = do_ref[:, :, sub * hd:(sub + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + mask[None]
+        s = s - s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / e.sum(axis=-1, keepdims=True)
+        pb = p.astype(do.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
+            do.dtype
+        )
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[:] = jnp.concatenate(dqs + dks + dvs, axis=-1)
+
+
+def interleave_perm(heads: int, head_dim: int) -> "list[int]":
+    """Column permutation turning standard fused-qkv order [q|k|v] into
+    per-head-group interleaved order [q_g0|k_g0|v_g0|q_g1|...].
+
+    Applied to the qkv projection WEIGHT (cheap (D,3D) gather per step, fused
+    by XLA) so the GEMM writes the kernel's preferred layout directly; the
+    checkpoint tree keeps the standard order.
+    """
+    hpb = heads_per_block(heads, head_dim)
+    lanes = hpb * head_dim
+    D = heads * head_dim
+    perm = []
+    for j in range(D // lanes):
+        for part in range(3):
+            base = part * D + j * lanes
+            perm.extend(range(base, base + lanes))
+    return perm
+
+
 def _pick_block_b(B: int, cap: int = 32) -> int:
     for bb in (64, 32, 16, 8, 4, 2, 1):
         if bb <= cap and B % bb == 0:
@@ -258,14 +338,14 @@ def _batch_spec(arg_shapes):
     return b, P
 
 
-def _fwd_infer(heads, interpret, mesh, arg_shapes, result_shape):
+def _fwd_infer(heads, interpret, interleaved, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding
 
     b, P = _batch_spec(arg_shapes)
     return NamedSharding(mesh, P(b, None, None))
 
 
-def _fwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
+def _fwd_partition(heads, interpret, interleaved, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding
 
     b, P = _batch_spec(arg_shapes)
@@ -276,19 +356,19 @@ def _fwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
     result_sharding = NamedSharding(mesh, P(b, None, None))
 
     def lower_fn(qkv, mask):
-        return _attn_fwd_impl(qkv, mask, heads, interpret)
+        return _attn_fwd_impl(qkv, mask, heads, interpret, interleaved)
 
     return mesh, lower_fn, result_sharding, arg_shardings
 
 
-def _bwd_infer(heads, interpret, mesh, arg_shapes, result_shape):
+def _bwd_infer(heads, interpret, interleaved, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding
 
     b, P = _batch_spec(arg_shapes)
     return NamedSharding(mesh, P(b, None, None))
 
 
-def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
+def _bwd_partition(heads, interpret, interleaved, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding
 
     b, P = _batch_spec(arg_shapes)
@@ -296,7 +376,7 @@ def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
     arg_shardings = (s, NamedSharding(mesh, P(None, None)), s)
 
     def lower_fn(qkv, mask, g):
-        return _bwd_pallas(qkv, mask, g, heads, interpret)
+        return _bwd_pallas(qkv, mask, g, heads, interpret, interleaved)
 
     return mesh, lower_fn, s, arg_shardings
 
@@ -304,7 +384,9 @@ def _bwd_partition(heads, interpret, mesh, arg_shapes, result_shape):
 def _make_cp(fn, infer, partition, rule, n_args):
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    cp = custom_partitioning(fn, static_argnums=(n_args, n_args + 1))
+    cp = custom_partitioning(
+        fn, static_argnums=(n_args, n_args + 1, n_args + 2)
+    )
     cp.def_partition(
         partition,
         infer_sharding_from_operands=infer,
@@ -325,8 +407,8 @@ def _get_fwd_cp():
     global _fwd_cp
     if _fwd_cp is None:
         _fwd_cp = _make_cp(
-            lambda qkv, mask, heads, interpret: _attn_fwd_impl(
-                qkv, mask, heads, interpret
+            lambda qkv, mask, heads, interpret, interleaved: _attn_fwd_impl(
+                qkv, mask, heads, interpret, interleaved
             ),
             _fwd_infer, _fwd_partition,
             "B l d, m n -> B l e", 2,
@@ -338,8 +420,8 @@ def _get_bwd_cp():
     global _bwd_cp
     if _bwd_cp is None:
         _bwd_cp = _make_cp(
-            lambda qkv, mask, g, heads, interpret: _bwd_pallas(
-                qkv, mask, g, heads, interpret
+            lambda qkv, mask, g, heads, interpret, interleaved: _bwd_pallas(
+                qkv, mask, g, heads, interpret, interleaved
             ),
             _bwd_infer, _bwd_partition,
             "B l d, m n, B l e -> B l d2", 3,
@@ -347,17 +429,20 @@ def _get_bwd_cp():
     return _bwd_cp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_attention(qkv, mask, heads: int, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention(qkv, mask, heads: int, interpret: bool = False,
+                    interleaved: bool = False):
     """Multi-head self-attention over a fused qkv tensor.
 
     qkv: (B, L, 3*D) — concatenated q/k/v projections (D = heads * head_dim).
     mask: (L, L) additive fp32 mask or None.
+    interleaved: qkv columns are in :func:`interleave_perm` order (per-group
+    [q|k|v] contiguous); the cotangent is returned in the same order.
     Returns the pre-output-projection context, (B, L, D).
     """
     if mask is None:
         mask = jnp.zeros((qkv.shape[1], qkv.shape[1]), jnp.float32)
-    return _get_fwd_cp()(qkv, mask, heads, interpret)
+    return _get_fwd_cp()(qkv, mask, heads, interpret, interleaved)
 
 
 def _geometry(qkv, heads, block_cap=32):
@@ -377,27 +462,44 @@ def _geometry(qkv, heads, block_cap=32):
     return B, L, D, hd, hpb, lanes, n_groups, block_b, grid
 
 
-def _attn_fwd_impl(qkv, mask, heads, interpret):
-    if KERNEL_VARIANT == "slab":
+def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
+    if KERNEL_VARIANT == "slab" and not interleaved:
         return _fwd_pallas_slab(qkv, mask, heads, interpret)
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, FWD_BLOCK_CAP)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=4 * B * heads * L * L * hd,
+        bytes_accessed=(qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    out_spec = pl.BlockSpec(
+        (block_b, L, lanes), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    if interleaved:
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_inter, scale=scale, hd=hd, hpb=hpb),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, L), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv, mask.astype(jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,
         in_specs=_specs(block_b, L, lanes, D, n_groups),
-        out_specs=pl.BlockSpec(
-            (block_b, L, lanes), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * heads * L * L * hd,
-            bytes_accessed=(qkv.size + B * L * D) * qkv.dtype.itemsize,
-            transcendentals=B * heads * L * L,
-        ),
+        cost_estimate=cost,
     )(qkv, qkv, qkv, mask.astype(jnp.float32))
     return out
 
@@ -430,27 +532,52 @@ def _fwd_pallas_slab(qkv, mask, heads, interpret):
     )(qkv, mask.astype(jnp.float32))
 
 
-def _attn_fwd(qkv, mask, heads, interpret):
+def _attn_fwd(qkv, mask, heads, interpret, interleaved):
     had_mask = mask is not None
     if mask is None:
         mask = jnp.zeros((qkv.shape[1], qkv.shape[1]), jnp.float32)
-    out = _get_fwd_cp()(qkv, mask, heads, interpret)
+    out = _get_fwd_cp()(qkv, mask, heads, interpret, interleaved)
     return out, (qkv, mask, had_mask)
 
 
-def _attn_bwd(heads, interpret, res, g):
+def _attn_bwd(heads, interpret, interleaved, res, g):
     qkv, mask, had_mask = res
-    dqkv = _get_bwd_cp()(qkv, mask, g, heads, interpret)
+    dqkv = _get_bwd_cp()(qkv, mask, g, heads, interpret, interleaved)
     dmask = jnp.zeros_like(mask) if had_mask else None
     return dqkv, dmask
 
 
-def _bwd_pallas(qkv, mask, g, heads, interpret):
-    if KERNEL_VARIANT == "slab":
+def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
+    if KERNEL_VARIANT == "slab" and not interleaved:
         return _bwd_pallas_slab(qkv, mask, g, heads, interpret)
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, BWD_BLOCK_CAP)
     scale = hd ** -0.5
     blk = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    if interleaved:
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel_inter, scale=scale, hd=hd, hpb=hpb),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, L), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(blk, lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, L, 3 * D), qkv.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,
@@ -462,11 +589,7 @@ def _bwd_pallas(qkv, mask, g, heads, interpret):
         ],
         out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=11 * B * heads * L * L * hd,
-            bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
-            transcendentals=B * heads * L * L,
-        ),
+        cost_estimate=cost,
     )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
     return jnp.concatenate([dq, dk, dv], axis=-1)
 

@@ -115,3 +115,65 @@ def test_sharded_batch_partitioning(rng):
     g_ref = jax.grad(lambda q: (reference_attention(q, mask, H) ** 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3,
                                rtol=1e-4)
+
+
+def _to_interleaved(qkv, H, D):
+    from spatial_clip_tpu.ops.fused_attention import interleave_perm
+
+    perm = np.asarray(interleave_perm(H, D // H))
+    return qkv[:, :, perm], perm
+
+
+@pytest.mark.parametrize("B,L,D,H", [(4, 11, 128, 2), (2, 9, 256, 8)])
+def test_interleaved_forward_parity(rng, B, L, D, H):
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    qkv_i, _ = _to_interleaved(qkv, H, D)
+    out = fused_attention(jnp.asarray(qkv_i), mask, H, True, True)
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_interleaved_gradient_parity(rng):
+    B, L, D, H = 4, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    qkv_i, perm = _to_interleaved(qkv, H, D)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss_inter(q):
+        return ((fused_attention(q, mask, H, True, True) - tgt) ** 2).sum()
+
+    def loss_ref(q):
+        return ((reference_attention(q, mask, H) - tgt) ** 2).sum()
+
+    g_i = jax.grad(loss_inter)(jnp.asarray(qkv_i))
+    g_ref = np.asarray(jax.grad(loss_ref)(qkv))
+    # the interleaved cotangent comes back in interleaved column order
+    np.testing.assert_allclose(
+        np.asarray(g_i), g_ref[:, :, perm], atol=1e-3, rtol=1e-4
+    )
+
+
+def test_model_level_parity_interleaved(rng):
+    """attn_impl='pallas_inter' must match 'einsum' exactly, with the same
+    param tree (the weight-column permutation never touches checkpoints)."""
+    from spatial_clip_tpu import create_model
+
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8).astype(np.float32)
+    texts = rng.integers(0, 512, (2, 16)).astype(np.int32)
+    wide = dict(
+        vision_cfg=dict(width=128, heads=2),
+        text_cfg=dict(width=128, heads=2),
+    )
+    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum", **wide)
+    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas_inter", **wide)
+    assert jax.tree_util.tree_structure(b1.params) == jax.tree_util.tree_structure(
+        b2.params
+    )
+    i1 = np.asarray(b1.encode_image(imgs, normalize=False))
+    i2 = np.asarray(b2.encode_image(imgs, params=b1.params, normalize=False))
+    t1 = np.asarray(b1.encode_text(texts, normalize=False))
+    t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
+    np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
