@@ -33,6 +33,9 @@ def build(arm: str, batch: int, model: str):
     name = arm
     mlp = "dense"
     ln = "fp32"
+    ln_gemm = "dense"
+    if name.endswith("+lnf"):  # fused LN->GEMM kernel (ops/fused_ln_dense)
+        name, ln_gemm = name[:-4], "pallas"
     if "%" in name:
         name, ln = name.split("%")
     if "#" in name:
@@ -41,7 +44,7 @@ def build(arm: str, batch: int, model: str):
         name, bs = name.split("@")
         batch = int(bs)
     bundle = create_model(model, precision="bf16", seed=0, attn_impl=name,
-                          mlp_impl=mlp, ln_impl=ln)
+                          mlp_impl=mlp, ln_impl=ln, ln_gemm_impl=ln_gemm)
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
         config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,

@@ -98,6 +98,7 @@ class CLIP(nn.Module):
                 attn_impl=self.cfg.attn_impl,
                 mlp_impl=self.cfg.mlp_impl,
                 ln_stats=self.cfg.ln_impl,
+                ln_gemm_impl=self.cfg.ln_gemm_impl,
             )
         if self.cfg.gene_cfg is not None:
             g = self.cfg.gene_cfg
@@ -149,6 +150,7 @@ class CLIP(nn.Module):
                 attn_impl=self.cfg.attn_impl,
                 mlp_impl=self.cfg.mlp_impl,
                 ln_stats=self.cfg.ln_impl,
+                ln_gemm_impl=self.cfg.ln_gemm_impl,
             )
         self.logit_scale = self.param(
             "logit_scale",

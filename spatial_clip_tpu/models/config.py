@@ -140,6 +140,9 @@ class CLIPCfg:
     # xla (fused dot_product_attention) | pallas (force the kernel).
     attn_impl: str = "auto"
     mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
+    # dense | pallas — fuse each block's pre-LN into its qkv/fc projection
+    # (ops/fused_ln_dense; targets the profiled convert_reduce LN family)
+    ln_gemm_impl: str = "dense"
     # fp32 (default, reference semantics) | compute — LN statistics dtype;
     # 'compute' is a bandwidth experiment gated on synthetic-A/B quality
     ln_impl: str = "fp32"

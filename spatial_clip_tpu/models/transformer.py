@@ -74,6 +74,36 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """Parameter holder with LayerNorm's exact tree layout (scale/bias) so
+    the fused LN->GEMM kernel can consume them without changing checkpoints."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+def _ln_apply(x, scale, bias, eps, dtype, stats_dtype="fp32"):
+    """Functional LayerNorm (same math as the LayerNorm module) for paths
+    where the fused LN->GEMM kernel does not apply."""
+    acc = dtype if stats_dtype == "compute" else jnp.float32
+    xa = x.astype(acc)
+    mean = xa.mean(axis=-1, keepdims=True)
+    var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
+    y = (xa - mean) * jax.lax.rsqrt(var + eps) * scale.astype(acc) + bias.astype(acc)
+    return y.astype(dtype)
+
+
+def _fused_ln_ok(K: int, N: int) -> bool:
+    """Shape gate for the fused LN->GEMM kernel: Mosaic-aligned dims and a
+    VMEM-resident weight (<=7 MB bf16 leaves room for double-buffered tiles)."""
+    return K % 128 == 0 and N % 128 == 0 and K * N * 2 <= 7 * 2 ** 20
+
+
 class MLP(nn.Module):
     width: int
     hidden: int
@@ -82,7 +112,27 @@ class MLP(nn.Module):
     impl: str = "dense"  # dense | pallas (fused fc->gelu->proj kernel)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
+        if ln is not None:
+            # pre-LN fused into the fc projection (ops/fused_ln_dense):
+            # ln = (scale, bias, eps); x is the raw residual-stream input.
+            scale, bias, eps = ln
+            if _fused_ln_ok(x.shape[-1], self.hidden):
+                from spatial_clip_tpu.ops.fused_ln_dense import fused_ln_dense
+
+                fc_k, fc_b = _DenseParams(x.shape[-1], self.hidden, name="c_fc")()
+                shape = x.shape
+                h = fused_ln_dense(
+                    x.reshape(-1, shape[-1]).astype(self.dtype),
+                    scale, bias, fc_k, fc_b, eps,
+                    jax.default_backend() != "tpu",
+                )
+                h = self.act(h.reshape(shape[:-1] + (self.hidden,)))
+                return nn.Dense(
+                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="c_proj",
+                )(h)
+            x = _ln_apply(x, scale, bias, eps, self.dtype)
         use_pallas = (
             self.impl == "pallas"
             and self.act is nn.gelu
@@ -127,7 +177,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None, ln=None
     ) -> jnp.ndarray:
         assert not (self.qk_norm and self.scaled_cosine)
         B, L, D = x.shape
@@ -135,10 +185,52 @@ class MultiHeadAttention(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+        if ln is not None:
+            # pre-LN handed in for fusion with the qkv projection
+            # (ops/fused_ln_dense). Fusable only on the Pallas attention
+            # paths with supported geometry; otherwise apply it here.
+            from spatial_clip_tpu.ops import fused_attention as fa
+
+            fusable = (
+                impl in ("pallas", "pallas_inter")
+                and not (self.qk_norm or self.scaled_cosine)
+                and fa.supported(self.heads, self.width)
+                and _fused_ln_ok(D, 3 * self.width)
+                and (attn_mask is None
+                     or all(s == 1 for s in attn_mask.shape[:-2]))
+            )
+            if not fusable:
+                x = _ln_apply(x, ln[0], ln[1], ln[2], self.dtype)
+                ln = None
         if impl in ("fold", "fold_bf16") and not (
             self.qk_norm or self.scaled_cosine
         ):
             return self._fold_attention(x, attn_mask)
+        if ln is not None:
+            from spatial_clip_tpu.ops import fused_attention as fa
+            from spatial_clip_tpu.ops.fused_ln_dense import fused_ln_dense
+
+            scale_p, bias_p, eps = ln
+            mask2d = None
+            if attn_mask is not None:
+                mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+            kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+            interleaved = impl == "pallas_inter"
+            if interleaved:
+                perm = tuple(fa.interleave_perm(self.heads, head_dim))
+                inv = fa.inverse_perm(perm)
+                kernel = fa.permute_columns(kernel, perm, inv)
+                bias = fa.permute_columns(bias[None, :], perm, inv)[0]
+            interp = jax.default_backend() != "tpu"
+            qkv = fused_ln_dense(
+                x.reshape(-1, D).astype(self.dtype),
+                scale_p, bias_p, kernel, bias, eps, interp,
+            ).reshape(B, L, 3 * self.width)
+            ctx = fa.fused_attention(qkv, mask2d, self.heads, interp, interleaved)
+            return nn.Dense(
+                self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                name="out",
+            )(ctx)
         if impl == "pallas_inter":
             # Interleaved-layout fused attention: the qkv projection weight's
             # columns are statically permuted so each head group's q|k|v
@@ -159,12 +251,11 @@ class MultiHeadAttention(nn.Module):
                     ok = False
             if ok:
                 kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
-                perm = jnp.asarray(
-                    fa.interleave_perm(self.heads, head_dim), jnp.int32
-                )
+                perm = tuple(fa.interleave_perm(self.heads, head_dim))
+                inv = fa.inverse_perm(perm)
                 qkv_i = (
-                    x @ jnp.take(kernel, perm, axis=1).astype(self.dtype)
-                    + jnp.take(bias, perm).astype(self.dtype)
+                    x @ fa.permute_columns(kernel, perm, inv).astype(self.dtype)
+                    + fa.permute_columns(bias[None, :], perm, inv)[0].astype(self.dtype)
                 )
                 ctx = fa.fused_attention(
                     qkv_i, mask2d, self.heads,
@@ -309,6 +400,9 @@ class ResidualBlock(nn.Module):
     qk_norm: bool = False
     scaled_cosine: bool = False
     ln_stats: str = "fp32"
+    # dense (LayerNorm module + Dense) | pallas (fused LN->GEMM kernel for
+    # ln_1->qkv and ln_2->fc; identical param tree, ops/fused_ln_dense)
+    ln_gemm_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -323,24 +417,34 @@ class ResidualBlock(nn.Module):
             )
             return y * gamma.astype(self.dtype)
 
-        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
-                      stats_dtype=self.ln_stats, name="ln_1")(x)
-        h = MultiHeadAttention(
+        fuse_ln = self.ln_gemm_impl == "pallas" and self.ln_stats == "fp32"
+        attn = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
             impl=self.attn_impl, qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine, name="attn",
-        )(h, attn_mask)
+        )
+        if fuse_ln:
+            s1, b1 = _LNParams(self.width, name="ln_1")()
+            h = attn(x, attn_mask, ln=(s1, b1, self.norm_eps))
+        else:
+            h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                          stats_dtype=self.ln_stats, name="ln_1")(x)
+            h = attn(h, attn_mask)
         x = x + scaled(h, "ls_1")
-        h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
-                      stats_dtype=self.ln_stats, name="ln_2")(x)
-        h = MLP(
+        mlp = MLP(
             width=self.width,
             hidden=int(self.width * self.mlp_ratio),
             dtype=self.dtype,
             act=self.act,
             impl=self.mlp_impl,
             name="mlp",
-        )(h)
+        )
+        if fuse_ln:
+            s2, b2 = _LNParams(self.width, name="ln_2")()
+            h = mlp(x, ln=(s2, b2, self.norm_eps))
+        else:
+            h = mlp(LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                              stats_dtype=self.ln_stats, name="ln_2")(x))
         x = x + scaled(h, "ls_2")
         return x
 
@@ -363,6 +467,7 @@ class Transformer(nn.Module):
     qk_norm: bool = False
     scaled_cosine: bool = False
     ln_stats: str = "fp32"
+    ln_gemm_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -390,6 +495,7 @@ class Transformer(nn.Module):
                 qk_norm=self.qk_norm,
                 scaled_cosine=self.scaled_cosine,
                 ln_stats=self.ln_stats,
+                ln_gemm_impl=self.ln_gemm_impl,
                 name=f"resblocks_{i}",
             )(x, attn_mask)
             # expose per-block tokens for probing / forward_intermediates
@@ -547,6 +653,7 @@ class VisionTransformer(nn.Module):
     # MXU GEMM fwd AND bwd (conv lowering pays im2col/grad-conv overhead on
     # TPU). 'conv': nn.Conv. Both share the same HWIO kernel param.
     ln_stats: str = "fp32"
+    ln_gemm_impl: str = "dense"
     patchify_impl: str = "reshape"
 
     def _pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -621,6 +728,7 @@ class VisionTransformer(nn.Module):
             remat=self.remat,
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
+            ln_gemm_impl=self.ln_gemm_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             ln_stats=self.ln_stats,
@@ -699,6 +807,7 @@ class TextTransformer(nn.Module):
     qk_norm: bool = False
     scaled_cosine: bool = False
     ln_stats: str = "fp32"
+    ln_gemm_impl: str = "dense"
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
@@ -742,6 +851,7 @@ class TextTransformer(nn.Module):
             remat=self.remat,
             attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
+            ln_gemm_impl=self.ln_gemm_impl,
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             ln_stats=self.ln_stats,

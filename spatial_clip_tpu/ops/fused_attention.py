@@ -267,6 +267,32 @@ def interleave_perm(heads: int, head_dim: int) -> "list[int]":
     return perm
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def permute_columns(w, perm: tuple, inv_perm: tuple):
+    """Column permutation whose VJP is a gather with the inverse permutation
+    — XLA lowers the autodiff transpose of ``take`` as a scatter-add, which
+    is slow on TPU; this keeps both directions as cheap gathers."""
+    return jnp.take(w, jnp.asarray(perm, jnp.int32), axis=1)
+
+
+def _perm_fwd(w, perm, inv_perm):
+    return permute_columns(w, perm, inv_perm), None
+
+
+def _perm_bwd(perm, inv_perm, _, g):
+    return (jnp.take(g, jnp.asarray(inv_perm, jnp.int32), axis=1),)
+
+
+permute_columns.defvjp(_perm_fwd, _perm_bwd)
+
+
+def inverse_perm(perm) -> "tuple[int, ...]":
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
 def _pick_block_b(B: int, cap: int = 32) -> int:
     for bb in (64, 32, 16, 8, 4, 2, 1):
         if bb <= cap and B % bb == 0:
