@@ -37,6 +37,12 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--dataset-type",
                    choices=["auto", "parquet", "shards", "synthetic", "csv"],
                    default="auto")
+    p.add_argument("--spatial-data-dir", default=None,
+                   help="spatial dataset root; implies --use-spatial-dataset "
+                        "(ref: main.py:406-409)")
+    p.add_argument("--imagenet-v2", default=None,
+                   help="second zero-shot eval folder (ImageNetV2 layout; "
+                        "ref: data.py:125,561)")
     p.add_argument("--imagenet-val", default=None,
                    help="ImageFolder root for zero-shot eval (ref: params.py"
                         " --imagenet-val, zero_shot.py:45-86)")
@@ -77,6 +83,17 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="leave the last N vision blocks trainable when "
                         "locking (ref: params.py --lock-image-unlocked-groups)")
     p.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    p.add_argument("--lock-image-freeze-bn-stats", action="store_true",
+                   help="parity flag: BN running stats here are frozen "
+                        "parameters by design (FrozenBatchNorm), so stats "
+                        "never update regardless (ref: main.py:280)")
+    p.add_argument("--lock-text-freeze-layer-norm", action="store_true",
+                   help="also freeze LayerNorm params inside locked text "
+                        "blocks (ref: main.py:284, model.py lock_text_tower)")
+    p.add_argument("--pretrained-image", action="store_true",
+                   help="load default base weights for a timm-style image "
+                        "trunk when no CLIP checkpoint is given (registry "
+                        "gated offline; ref: factory.py:264,467)")
     p.add_argument("--force-patch-dropout", type=float, default=None,
                    help="override the config's patch_dropout (ref: params.py)")
     p.add_argument("--force-custom-text", action="store_true",
@@ -109,6 +126,12 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--lr-cooldown-end", type=float, default=0.0)
     p.add_argument("--lr-cooldown-power", type=float, default=1.0)
     p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--opt", default="adamw", choices=["adamw", "sgd", "lion"],
+                   help="optimizer family (ref: params.py --opt)")
+    p.add_argument("--momentum", type=float, default=None,
+                   help="sgd momentum (ref: params.py --momentum)")
+    p.add_argument("--skip-scheduler", action="store_true",
+                   help="constant LR, no warmup/decay (ref: train.py:80)")
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--accum-mode", choices=["cached", "simple"], default="cached")
     # loss
@@ -119,7 +142,10 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--siglip", action="store_true")
     p.add_argument("--loss-dist-impl", default="shift",
                    choices=["bidir", "shift", "reduce", "gather"])
-    p.add_argument("--cap-logit-scale", type=float, default=None)
+    p.add_argument("--cap-logit-scale", "--logit-scale-cap",
+                   dest="cap_logit_scale", type=float, default=None,
+                   help="STE cap on exp(logit_scale) in the spatial loss "
+                        "(ref: main.py:516 logit_scale_cap)")
     p.add_argument("--temp-reg-weight", type=float, default=0.0)
     p.add_argument("--neighbor-alpha-scale", type=float, default=1.0)
     p.add_argument("--float32-logits", action="store_true", default=True)
@@ -151,6 +177,8 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--dist-url", default=None, help="no-op (JAX runtime)")
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--report-to", default="csv,jsonl")
+    p.add_argument("--wandb-notes", default=None)
+    p.add_argument("--wandb-project-name", default=None)
     p.add_argument("--remote-sync", default=None,
                    help="remote dir to mirror the run dir into (ref: "
                         "main.py:174-194 background S3/fsspec sync)")
@@ -167,6 +195,11 @@ def parse_args(args=None) -> argparse.Namespace:
     for k, v in defaults.items():
         if getattr(ns, k.replace("-", "_")) is None:
             setattr(ns, k.replace("-", "_"), v)
+    if ns.spatial_data_dir:
+        # --spatial-data-dir implies the spatial dataset + loss pathway
+        # (ref: main.py:406-409)
+        ns.train_data = ns.train_data or ns.spatial_data_dir
+        ns.use_spatial_dataset = True
     return ns
 
 
@@ -211,10 +244,15 @@ def _lock_prefixes(bundle, args) -> tuple:
         n = args.lock_text_unlocked_layers
         if n and t is not None:
             prefixes += ["text/token_embedding", "text/positional_embedding"]
-            prefixes += [
-                f"text/transformer/resblocks_{i}"
-                for i in range(max(t.layers - n, 0))
-            ]
+            for i in range(max(t.layers - n, 0)):
+                blk = f"text/transformer/resblocks_{i}"
+                if getattr(args, "lock_text_freeze_layer_norm", False):
+                    prefixes.append(blk)  # whole block incl. LN params
+                else:
+                    # torch default: LayerNorm weights stay trainable inside
+                    # locked blocks (ref: model.py lock_text_tower
+                    # freeze_layer_norm=False)
+                    prefixes += [f"{blk}/attn", f"{blk}/mlp"]
         else:
             prefixes.append("text")
     return tuple(prefixes)
@@ -270,6 +308,21 @@ def main(args=None):
         seed=args.seed,
         **overrides,
     )
+
+    if args.pretrained_image and not args.pretrained:
+        # ref factory.py:467 loads default timm base weights at creation;
+        # our pretrained registry is download-gated offline, so surface the
+        # gating instead of silently training from scratch
+        log.warning(
+            "--pretrained-image: base image-tower weights come from the "
+            "gated pretrained registry (models/pretrained.py); no cached "
+            "weights found, image tower starts at init"
+        )
+    if args.lock_image_freeze_bn_stats and args.lock_image_tower:
+        log.info(
+            "--lock-image-freeze-bn-stats: BN running stats are frozen "
+            "parameters by design here (FrozenBatchNorm); nothing to freeze"
+        )
 
     teacher = None
     if args.distill_model:
@@ -377,8 +430,12 @@ def main(args=None):
         betas=(args.beta1, args.beta2),
         eps=args.eps,
         grad_clip_norm=args.grad_clip_norm,
-        schedule=args.lr_scheduler,
-        warmup_steps=min(args.warmup, max(total_steps // 10, 1)),
+        opt=args.opt,
+        momentum=args.momentum,
+        # --skip-scheduler: constant LR, no warmup/decay (ref: train.py:80)
+        schedule="const" if args.skip_scheduler else args.lr_scheduler,
+        warmup_steps=0 if args.skip_scheduler
+        else min(args.warmup, max(total_steps // 10, 1)),
         total_steps=total_steps,
         grad_accum=args.accum_freq,
         grad_accum_mode=args.accum_mode,
@@ -401,7 +458,9 @@ def main(args=None):
         },
     )
     trainer = Trainer(bundle, loss=loss, config=cfg, teacher=teacher)
-    loggers = make_loggers(args.report_to, str(out_dir))
+    loggers = make_loggers(args.report_to, str(out_dir),
+                           wandb_project=args.wandb_project_name,
+                           wandb_notes=args.wandb_notes)
 
     sync_proc = None
     if args.remote_sync:
@@ -425,22 +484,29 @@ def main(args=None):
         logger=loggers,
         resume=args.resume,
     )
-    if args.imagenet_val:
+    for zs_dir, zs_tag in ((args.imagenet_val, "imagenet"),
+                           (args.imagenet_v2, "imagenetv2")):
+        if not zs_dir:
+            continue
         from spatial_clip_tpu.data.datasets.imagefolder import get_imagenet_loader
         from spatial_clip_tpu.train.zero_shot import imagenet_zero_shot_eval
 
         loader, classes = get_imagenet_loader(
-            args.imagenet_val, pp_val, batch_size=args.batch_size
+            zs_dir, pp_val, batch_size=args.batch_size
         )
-        # dirs named by ImageNet class are used as-is; otherwise assume the
-        # standard 1000-class layout and use the vendored metadata order
+        # dirs named by ImageNet class are used as-is; numeric dirs (the
+        # ImageNetV2 layout) or the standard 1000-class layout use the
+        # vendored metadata order (ref: data.py:125 ImageNetV2Dataset)
+        numeric = all(c.isdigit() for c in classes)
         zs = imagenet_zero_shot_eval(
             bundle, state.params, tokenizer, loader,
             template_set=args.zeroshot_templates,
-            classnames=classes if len(classes) != 1000 else None,
+            classnames=None if (len(classes) == 1000 or numeric) else classes,
         )
+        zs = {f"{zs_tag}-{k}" if zs_tag != "imagenet" else k: v
+              for k, v in zs.items()}
         metrics.update(zs)
-        log.info("imagenet zero-shot: %s", zs)
+        log.info("%s zero-shot: %s", zs_tag, zs)
 
     (out_dir / "results.json").write_text(json.dumps(metrics, indent=2, default=float))
     if sync_proc is not None:

@@ -27,8 +27,13 @@ class ImageFolderDataset:
     ):
         self.root = Path(root)
         self.preprocess_fn = preprocess_fn
-        self.classes = sorted(
-            d.name for d in self.root.iterdir() if d.is_dir()
+        names = [d.name for d in self.root.iterdir() if d.is_dir()]
+        # ImageNetV2 ships numeric class dirs ("0".."999"): sort numerically
+        # so label ids align with the vendored metadata order
+        # (ref: open_clip_train/data.py:125 ImageNetV2Dataset)
+        self.classes = (
+            sorted(names, key=int) if names and all(n.isdigit() for n in names)
+            else sorted(names)
         )
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         rng = np.random.default_rng(seed)

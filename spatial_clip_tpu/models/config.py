@@ -143,8 +143,8 @@ class CLIPCfg:
     # dense | pallas — fuse each block's pre-LN into its qkv/fc projection
     # (ops/fused_ln_dense; targets the profiled convert_reduce LN family)
     ln_gemm_impl: str = "dense"
-    # fp32 (default, reference semantics) | compute — LN statistics dtype;
-    # 'compute' is a bandwidth experiment gated on synthetic-A/B quality
+    # fp32 (default, reference semantics) | onepass (fp32 E[x^2]-E[x]^2,
+    # single fused reduction pass over x) | compute (bf16 stats experiment)
     ln_impl: str = "fp32"
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias

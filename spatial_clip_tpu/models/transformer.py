@@ -42,7 +42,7 @@ class LayerNorm(nn.Module):
 
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
-    stats_dtype: str = "fp32"  # fp32 | compute
+    stats_dtype: str = "fp32"  # fp32 | onepass | compute
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +52,15 @@ class LayerNorm(nn.Module):
         acc = self.dtype if self.stats_dtype == "compute" else jnp.float32
         xa = x.astype(acc)
         mean = xa.mean(axis=-1, keepdims=True)
-        var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
+        if self.stats_dtype == "onepass":
+            # E[x^2]-E[x]^2: both reductions read x in ONE fused pass (XLA
+            # sibling-reduce fusion) instead of the two-pass (x-mean)^2 walk
+            # — targets the profiled convert_reduce family. fp32 accumulation
+            # keeps the cancellation benign for bf16-scale activations.
+            m2 = (xa * xa).mean(axis=-1, keepdims=True)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
+        else:
+            var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
         y = (xa - mean) * jax.lax.rsqrt(var + self.eps) * scale.astype(acc) + bias.astype(acc)
         return y.astype(self.dtype)
 
@@ -93,7 +101,11 @@ def _ln_apply(x, scale, bias, eps, dtype, stats_dtype="fp32"):
     acc = dtype if stats_dtype == "compute" else jnp.float32
     xa = x.astype(acc)
     mean = xa.mean(axis=-1, keepdims=True)
-    var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
+    if stats_dtype == "onepass":
+        m2 = (xa * xa).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - mean * mean, 0.0)
+    else:
+        var = jnp.square(xa - mean).mean(axis=-1, keepdims=True)
     y = (xa - mean) * jax.lax.rsqrt(var + eps) * scale.astype(acc) + bias.astype(acc)
     return y.astype(dtype)
 

@@ -187,32 +187,20 @@ def _bwd_kernel_slab(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, heads):
     dqkv_ref[:] = jnp.concatenate(dqs + dks + dvs, axis=-1)
 
 
-def _fwd_kernel_inter(qkv_ref, mask_ref, o_ref, *, scale, hd, hpb):
-    """Interleaved-layout forward: the block holds one head group's q|k|v
-    contiguously (lanes [q_g | k_g | v_g], 3*lanes wide) — one DMA per grid
-    step instead of three strided ones."""
+def _bwd_kernel_inter(q_ref, k_ref, v_ref, mask_ref, do_ref, dqkv_ref,
+                      *, scale, hd, hpb):
+    """Interleaved-layout backward: q/k/v arrive as the same three strided
+    DMAs the forward 'group' kernel uses (the measured-fast pattern; the
+    contiguous-slab read lost, docs/experiments.md), but dq/dk/dv for the
+    whole head group are emitted as ONE (bB, L, 3*lanes) write — no XLA
+    concatenate (the profiled 2ms dynamic-update-slice family) ever
+    materializes dqkv."""
     mask = mask_ref[:]
-    lanes = hpb * hd
-    outs = []
-    for s in range(hpb):
-        q = qkv_ref[:, :, s * hd:(s + 1) * hd]
-        k = qkv_ref[:, :, lanes + s * hd:lanes + (s + 1) * hd]
-        v = qkv_ref[:, :, 2 * lanes + s * hd:2 * lanes + (s + 1) * hd]
-        outs.append(_one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype))
-    o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
-
-
-def _bwd_kernel_inter(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, hpb):
-    """Interleaved-layout backward: dq/dk/dv for the whole head group are
-    emitted as ONE (bB, L, 3*lanes) write — no XLA concatenate (the profiled
-    2ms dynamic-update-slice family) ever materializes dqkv."""
-    mask = mask_ref[:]
-    lanes = hpb * hd
     dqs, dks, dvs = [], [], []
     for sub in range(hpb):
-        q = qkv_ref[:, :, sub * hd:(sub + 1) * hd]
-        k = qkv_ref[:, :, lanes + sub * hd:lanes + (sub + 1) * hd]
-        v = qkv_ref[:, :, 2 * lanes + sub * hd:2 * lanes + (sub + 1) * hd]
+        q = q_ref[:, :, sub * hd:(sub + 1) * hd]
+        k = k_ref[:, :, sub * hd:(sub + 1) * hd]
+        v = v_ref[:, :, sub * hd:(sub + 1) * hd]
         do = do_ref[:, :, sub * hd:(sub + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
@@ -341,6 +329,19 @@ def _specs(block_b, L, lanes, D, n_groups):
         pl.BlockSpec(blk, q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, k_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, v_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, L), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _specs_inter(block_b, L, lanes):
+    """Interleaved layout [q_g0|k_g0|v_g0|q_g1|...]: group j's q/k/v live at
+    lane blocks 3j / 3j+1 / 3j+2 — same three strided DMAs per grid step as
+    the standard layout, different offsets."""
+    blk = (block_b, L, lanes)
+    return [
+        pl.BlockSpec(blk, lambda i, j: (i, 0, 3 * j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda i, j: (i, 0, 3 * j + 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, lambda i, j: (i, 0, 3 * j + 2), memory_space=pltpu.VMEM),
         pl.BlockSpec((L, L), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
 
@@ -505,19 +506,14 @@ def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
     )
     if interleaved:
         return pl.pallas_call(
-            functools.partial(_fwd_kernel_inter, scale=scale, hd=hd, hpb=hpb),
+            functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, L), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=_specs_inter(block_b, L, lanes),
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
             interpret=interpret,
             cost_estimate=cost,
-        )(qkv, mask.astype(jnp.float32))
+        )(qkv, qkv, qkv, mask.astype(jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,
@@ -588,14 +584,9 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
         return pl.pallas_call(
             functools.partial(_bwd_kernel_inter, scale=scale, hd=hd, hpb=hpb),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, L), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(blk, lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=_specs_inter(block_b, L, lanes)
+            + [pl.BlockSpec(blk, lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(
                 (block_b, L, 3 * lanes), lambda i, j: (i, 0, j),
                 memory_space=pltpu.VMEM,
@@ -603,7 +594,7 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
             out_shape=jax.ShapeDtypeStruct((B, L, 3 * D), qkv.dtype),
             interpret=interpret,
             cost_estimate=cost,
-        )(qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
+        )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb),
         grid=grid,

@@ -119,9 +119,11 @@ def _is_scalar(v) -> bool:
         return False
 
 
-def make_loggers(spec: str, out_dir: str) -> MultiLogger:
+def make_loggers(spec: str, out_dir: str, wandb_project: str = None,
+                 wandb_notes: str = None) -> MultiLogger:
     """Build loggers from a comma list: 'csv,jsonl,tensorboard'
-    (ref: --report-to, configs/logger/aim_csv.yaml default -> csv here)."""
+    (ref: --report-to, configs/logger/aim_csv.yaml default -> csv here;
+    wandb_project/notes map --wandb-project-name/--wandb-notes)."""
     out = []
     os.makedirs(out_dir, exist_ok=True)
     for name in (spec or "csv").split(","):
@@ -138,7 +140,8 @@ def make_loggers(spec: str, out_dir: str) -> MultiLogger:
 
                 class _Wandb:
                     def __init__(self, out):
-                        wandb.init(project="spatial-clip-tpu", dir=out)
+                        wandb.init(project=wandb_project or "spatial-clip-tpu",
+                                   notes=wandb_notes, dir=out)
 
                     def log(self, step, metrics):
                         wandb.log(metrics, step=step)
@@ -160,7 +163,8 @@ def make_loggers(spec: str, out_dir: str) -> MultiLogger:
                 out.append(adapter)
         elif name == "many_loggers":
             # ref: configs/logger/many_loggers.yaml — every available backend
-            return make_loggers("csv,jsonl,tensorboard,wandb,mlflow", out_dir)
+            return make_loggers("csv,jsonl,tensorboard,wandb,mlflow", out_dir,
+                                wandb_project, wandb_notes)
         else:
             logging.getLogger(__name__).warning("unknown logger '%s' skipped", name)
     return MultiLogger(out)

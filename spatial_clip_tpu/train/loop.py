@@ -62,6 +62,8 @@ class TrainerConfig:
     betas: Tuple[float, float] = (0.9, 0.98)
     eps: float = 1e-6
     grad_clip_norm: Optional[float] = 1.0
+    opt: str = "adamw"  # adamw | sgd | lion (ref: params.py --opt)
+    momentum: Optional[float] = None  # sgd momentum (ref: --momentum)
     schedule: str = "cosine"
     warmup_steps: int = 500
     total_steps: int = 10_000
@@ -139,6 +141,8 @@ class Trainer:
             betas=self.cfg.betas,
             eps=self.cfg.eps,
             grad_clip_norm=self.cfg.grad_clip_norm,
+            opt=self.cfg.opt,
+            momentum=self.cfg.momentum,
             schedule_name=self.cfg.schedule,
             warmup_steps=self.cfg.warmup_steps,
             total_steps=self.cfg.total_steps,

@@ -129,28 +129,58 @@ def make_optimizer(
     warmup_steps: int = 2000,
     total_steps: int = 100_000,
     frozen_prefixes: Tuple[str, ...] = (),
+    opt: str = "adamw",
+    momentum: Optional[float] = None,
     **schedule_kwargs,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
-    """AdamW + global-norm clipping + schedule, with the reference's
+    """Optimizer + global-norm clipping + schedule, with the reference's
     no-decay split (main.py:338-366; trainer grad_clip_val=1.0 per
     configs/trainer/default.yaml) and optional tower locking
-    (``frozen_prefixes=("visual",)`` locks the image tower)."""
+    (``frozen_prefixes=("visual",)`` locks the image tower).
+
+    ``opt``: adamw (default) | sgd | lion (ref: params.py --opt/--momentum,
+    main.py:318-366 create_optimizer branch)."""
     schedule = make_schedule(
         schedule_name, learning_rate, warmup_steps, total_steps, **schedule_kwargs
     )
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=betas[0],
-            b2=betas[1],
-            eps=eps,
-            weight_decay=weight_decay,
-            mask=decay_mask(params),
+    opt = (opt or "adamw").lower()
+    if opt in ("adamw", "adam"):
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=betas[0],
+                b2=betas[1],
+                eps=eps,
+                weight_decay=weight_decay,
+                mask=decay_mask(params),
+            )
         )
-    )
+    elif opt == "sgd":
+        if weight_decay:
+            chain.append(
+                optax.masked(
+                    optax.add_decayed_weights(weight_decay), decay_mask(params)
+                )
+            )
+        chain.append(
+            optax.sgd(learning_rate=schedule,
+                      momentum=0.9 if momentum is None else momentum)
+        )
+    elif opt == "lion":
+        chain.append(
+            optax.lion(
+                learning_rate=schedule,
+                b1=betas[0],
+                b2=betas[1],
+                weight_decay=weight_decay,
+                mask=decay_mask(params),
+            )
+        )
+    else:
+        raise ValueError(f"unknown optimizer: {opt}")
     if frozen_prefixes:
         frozen = freeze_mask(params, tuple(frozen_prefixes))
         chain.append(

@@ -152,3 +152,57 @@ def test_lock_prefix_generation():
     # the last vision block stays trainable
     n_layers = bundle.cfg.vision_cfg.layers
     assert f"visual/transformer/resblocks_{n_layers - 1}" not in prefixes
+
+
+def test_flag_tail_parity_wiring():
+    """The round-2 flag tail: --opt/--momentum/--skip-scheduler/
+    --logit-scale-cap alias/--spatial-data-dir implication/LN-freeze locking
+    (ref: params.py + main.py usages)."""
+    ns = main_train.parse_args(
+        ["--opt", "sgd", "--momentum", "0.8", "--skip-scheduler",
+         "--logit-scale-cap", "50", "--spatial-data-dir", "/tmp/sp"]
+    )
+    assert ns.opt == "sgd" and ns.momentum == 0.8 and ns.skip_scheduler
+    assert ns.cap_logit_scale == 50.0  # --logit-scale-cap aliases
+    assert ns.use_spatial_dataset and ns.train_data == "/tmp/sp"
+
+    # partial text locking leaves LN params trainable unless
+    # --lock-text-freeze-layer-norm (ref: model.py lock_text_tower)
+    from spatial_clip_tpu import create_model
+
+    bundle = create_model("ViT-Test", precision="fp32", seed=0)
+    soft = main_train._lock_prefixes(
+        bundle,
+        main_train.parse_args(
+            ["--lock-text-tower", "--lock-text-unlocked-layers", "1"]
+        ),
+    )
+    hard = main_train._lock_prefixes(
+        bundle,
+        main_train.parse_args(
+            ["--lock-text-tower", "--lock-text-unlocked-layers", "1",
+             "--lock-text-freeze-layer-norm"]
+        ),
+    )
+    assert "text/transformer/resblocks_0/attn" in soft
+    assert "text/transformer/resblocks_0" not in soft
+    assert "text/transformer/resblocks_0" in hard
+
+
+def test_optimizer_families():
+    """sgd/lion optimizers build and step (ref: params.py --opt)."""
+    import jax.numpy as jnp
+
+    from spatial_clip_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.ones((4, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+    for opt in ("adamw", "sgd", "lion"):
+        tx, sched = make_optimizer(
+            params, learning_rate=1e-2, opt=opt, momentum=0.9,
+            schedule_name="const", warmup_steps=0, total_steps=10,
+        )
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        assert updates["w"].shape == (4, 4)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
