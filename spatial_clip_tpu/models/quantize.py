@@ -64,3 +64,56 @@ def load_quantized_npz(path: str) -> Dict[str, Any]:
         else:
             flat[k] = v
     return unflatten_params(flat)
+
+
+# ---------------------------------------------------------------------------
+# int8 dot_general execution (serving path)
+# (ref: src/open_clip/utils.py:67-92 replace_linear + bitsandbytes
+# Linear8bitLt — the TPU-native equivalent runs the MXU at its 2x int8 rate
+# with per-row dynamic activation scales and per-channel weight scales.)
+# ---------------------------------------------------------------------------
+
+
+def int8_dot(x, w_q, w_scale):
+    """``x @ dequant(w_q)`` executed as an int8 x int8 MXU ``dot_general``.
+
+    x: (..., K) float activations — dynamically quantized per row (symmetric,
+    LLM.int8-style absmax without outlier decomposition; CLIP towers have no
+    outlier channels at these widths).
+    w_q: (K, N) int8; w_scale: (N,) fp32 per-output-channel scales.
+    Returns (..., N) fp32. Inference-only (round() has zero gradient).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    xa = jnp.asarray(x, jnp.float32)
+    xs = jnp.max(jnp.abs(xa), axis=-1, keepdims=True) / 127.0
+    xs = jnp.where(xs == 0, 1.0, xs)
+    x_q = jnp.clip(jnp.round(xa / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((xa.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * w_scale
+
+
+def convert_tree_mlp_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a dense param tree for use with ``mlp_impl='int8'``: every
+    transformer-MLP projection (``mlp/c_fc``, ``mlp/c_proj``) becomes
+    {q8, scale, bias}; everything else is unchanged."""
+
+    def walk(tree, under_mlp=False):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if under_mlp and k in ("c_fc", "c_proj") and "kernel" in v:
+                    q, s = quantize_array(np.asarray(v["kernel"]))
+                    out[k] = {"q8": q, "scale": s,
+                              "bias": np.asarray(v["bias"])}
+                else:
+                    out[k] = walk(v, under_mlp=(k == "mlp"))
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)

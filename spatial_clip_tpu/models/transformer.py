@@ -116,15 +116,46 @@ def _fused_ln_ok(K: int, N: int) -> bool:
     return K % 128 == 0 and N % 128 == 0 and K * N * 2 <= 7 * 2 ** 20
 
 
+class _Int8DenseParams(nn.Module):
+    """Inference-only int8 projection params ({q8, scale, bias}; produced by
+    quantize.convert_tree_mlp_int8 from a dense checkpoint)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        q8 = self.param(
+            "q8", nn.initializers.zeros,
+            (self.in_features, self.features), jnp.int8,
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return q8, scale, bias
+
+
 class MLP(nn.Module):
     width: int
     hidden: int
     dtype: Dtype = jnp.float32
     act: Callable = nn.gelu
-    impl: str = "dense"  # dense | pallas (fused fc->gelu->proj kernel)
+    # dense | pallas (fused fc->gelu->proj kernel) | int8 (serving path:
+    # int8 x int8 MXU dot_general over quantized weights, models/quantize.py)
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
+        if self.impl == "int8":
+            from spatial_clip_tpu.models.quantize import int8_dot
+
+            if ln is not None:
+                x = _ln_apply(x, ln[0], ln[1], ln[2], self.dtype)
+            fc = _Int8DenseParams(x.shape[-1], self.hidden, name="c_fc")()
+            pj = _Int8DenseParams(self.hidden, self.width, name="c_proj")()
+            h = self.act(int8_dot(x, fc[0], fc[1]) + fc[2])
+            return (int8_dot(h, pj[0], pj[1]) + pj[2]).astype(self.dtype)
         if ln is not None:
             # pre-LN fused into the fc projection (ops/fused_ln_dense):
             # ln = (scale, bias, eps); x is the raw residual-stream input.
