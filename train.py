@@ -130,6 +130,19 @@ def train(cfg: Dict[str, Any]) -> Tuple[Optional[float], Dict[str, Any]]:
     from spatial_clip_tpu.parallel.mesh import maybe_init_distributed
     from spatial_clip_tpu.train.logging_utils import make_loggers, setup_logging
 
+    # device presets (ref: configs/trainer/{cpu,gpu,ddp,ddp_sim}.yaml):
+    # platform/sim_devices must be applied before any backend use — the env
+    # var alone is ignored once sitecustomize pre-registers the TPU backend
+    tcfg_early = cfg.get("trainer", {})
+    if tcfg_early.get("platform"):
+        import jax
+
+        jax.config.update("jax_platforms", str(tcfg_early["platform"]))
+        if tcfg_early.get("sim_devices"):
+            jax.config.update(
+                "jax_num_cpu_devices", int(tcfg_early["sim_devices"])
+            )
+
     maybe_init_distributed()
     out_dir = Path(cfg["paths"]["output_dir"])
     out_dir.mkdir(parents=True, exist_ok=True)
