@@ -32,8 +32,14 @@ def build(arm: str, batch: int, model: str):
 
     name = arm
     mlp = "dense"
-    ln = "fp32"
+    ln = "onepass"
     ln_gemm = "dense"
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    fast = name.endswith("~fast")  # fast-softmax kernel variant
+    if fast:
+        name = name[:-5]
+    fa.FAST_SOFTMAX = fast  # set (or reset) per arm; read at trace time
     if name.endswith("+lnf"):  # fused LN->GEMM kernel (ops/fused_ln_dense)
         name, ln_gemm = name[:-4], "pallas"
     if "%" in name:

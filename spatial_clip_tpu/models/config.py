@@ -143,9 +143,12 @@ class CLIPCfg:
     # dense | pallas — fuse each block's pre-LN into its qkv/fc projection
     # (ops/fused_ln_dense; targets the profiled convert_reduce LN family)
     ln_gemm_impl: str = "dense"
-    # fp32 (default, reference semantics) | onepass (fp32 E[x^2]-E[x]^2,
-    # single fused reduction pass over x) | compute (bf16 stats experiment)
-    ln_impl: str = "fp32"
+    # onepass (default: fp32 E[x^2]-E[x]^2 — both LN stats in a single fused
+    # reduction pass over x; measured 101.3 vs 103.5 ms/step on the parity
+    # config, reports/ab_hybrid_r2.json; equal math in exact arithmetic,
+    # <1e-5 relative difference in fp32) | fp32 (two-pass (x-mean)^2,
+    # reference formulation) | compute (bf16 stats experiment)
+    ln_impl: str = "onepass"
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias
     quick_gelu: bool = False

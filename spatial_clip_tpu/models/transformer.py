@@ -460,7 +460,10 @@ class ResidualBlock(nn.Module):
             )
             return y * gamma.astype(self.dtype)
 
-        fuse_ln = self.ln_gemm_impl == "pallas" and self.ln_stats == "fp32"
+        fuse_ln = (
+            self.ln_gemm_impl == "pallas"
+            and self.ln_stats in ("fp32", "onepass")
+        )
         attn = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
             impl=self.attn_impl, qk_norm=self.qk_norm,

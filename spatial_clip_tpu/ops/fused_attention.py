@@ -39,12 +39,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Fast-softmax kernel variant: replace the per-row running-max subtraction
+# with a FIXED shift (exactly equal softmax for any shift), and fold the
+# 1/sum normalization into the (smaller) output tile after the PV dot —
+# saves a reduce + a (bB,L,L)-wide elementwise pass per sub-head in fwd.
+# Overflow-safe while scores stay < ~(88 + SHIFT); CLIP attention logits are
+# O(30). Tunable via scripts/ab_step_time.py arm suffix '~fast'.
+FAST_SOFTMAX = False
+_FAST_SHIFT = 20.0
+
+
 def _one_head_fwd(q, k, v, mask, scale):
     """(bB, L, hd) sub-head attention; fp32 softmax; returns (bB, L, hd)."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     s = s * scale + mask[None]
+    if FAST_SOFTMAX:
+        e = jnp.exp(s - _FAST_SHIFT)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return o * (1.0 / e.sum(axis=-1, keepdims=True))
     s = s - s.max(axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
@@ -52,6 +69,17 @@ def _one_head_fwd(q, k, v, mask, scale):
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+
+
+def _p_from_scores(s):
+    """Normalized attention probs from masked+scaled fp32 scores; honors
+    FAST_SOFTMAX (fixed shift instead of the per-row max reduction)."""
+    if FAST_SOFTMAX:
+        e = jnp.exp(s - _FAST_SHIFT)
+        return e / e.sum(axis=-1, keepdims=True)
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / e.sum(axis=-1, keepdims=True)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hd, hpb):
@@ -79,9 +107,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
             preferred_element_type=jnp.float32,
         )
         s = s * scale + mask[None]
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / e.sum(axis=-1, keepdims=True)  # (bB, Lq, Lk) fp32
+        p = _p_from_scores(s)  # (bB, Lq, Lk) fp32
 
         pb = p.astype(do.dtype)
         # dv[b,k,d] = sum_q p[b,q,k] do[b,q,d]
@@ -158,9 +184,7 @@ def _bwd_kernel_slab(qkv_ref, mask_ref, do_ref, dqkv_ref, *, scale, hd, heads):
             preferred_element_type=jnp.float32,
         )
         s = s * scale + mask[None]
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / e.sum(axis=-1, keepdims=True)
+        p = _p_from_scores(s)
         pb = p.astype(do.dtype)
         dv = jax.lax.dot_general(
             pb, do, (((1,), (1,)), ((0,), (0,))),
@@ -207,9 +231,7 @@ def _bwd_kernel_inter(q_ref, k_ref, v_ref, mask_ref, do_ref, dqkv_ref,
             preferred_element_type=jnp.float32,
         )
         s = s * scale + mask[None]
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / e.sum(axis=-1, keepdims=True)
+        p = _p_from_scores(s)
         pb = p.astype(do.dtype)
         dv = jax.lax.dot_general(
             pb, do, (((1,), (1,)), ((0,), (0,))),

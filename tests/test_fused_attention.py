@@ -177,3 +177,29 @@ def test_model_level_parity_interleaved(rng):
     t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
     np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
+
+
+def test_fast_softmax_parity(rng):
+    """FAST_SOFTMAX (fixed-shift exp, post-dot normalization) is exactly
+    softmax in real arithmetic; fwd+grad must match within fp32 rounding."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    B, L, D, H = 4, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(q):
+        return ((fused_attention(q, mask, H, True) - tgt) ** 2).sum()
+
+    fa.FAST_SOFTMAX = True
+    try:
+        out_fast = fused_attention(qkv, mask, H, True)
+        g_fast = jax.grad(loss)(qkv)
+    finally:
+        fa.FAST_SOFTMAX = False
+    ref = reference_attention(qkv, mask, H)
+    g_ref = jax.grad(lambda q: ((reference_attention(q, mask, H) - tgt) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=2e-3, rtol=1e-3)
