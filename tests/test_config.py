@@ -91,3 +91,18 @@ def test_all_experiments_compose_and_datamodule_instantiates():
         dm = instantiate(cfg["data"])
         assert hasattr(dm, "train_dataloader"), f.stem
         assert cfg["loss"]["name"] in ("clip", "spatial", "siglip"), f.stem
+
+
+def test_trainer_device_presets_compose():
+    """Device presets (ref: configs/trainer/{cpu,gpu,ddp,ddp_sim}.yaml)."""
+    for preset, expect in (
+        ("cpu", {"platform": "cpu"}),
+        ("tpu", {"platform": "tpu"}),
+        ("tpu_pod", {"platform": "tpu", "multihost": True}),
+        ("ddp_sim", {"platform": "cpu", "sim_devices": 8}),
+    ):
+        cfg = compose(CONFIG_DIR, "train", [f"trainer={preset}"])
+        for k, v in expect.items():
+            assert cfg["trainer"][k] == v, (preset, k)
+        # presets inherit the default trainer knobs
+        assert cfg["trainer"]["grad_clip_norm"] == 1.0, preset
