@@ -36,10 +36,12 @@ def build(arm: str, batch: int, model: str):
     ln_gemm = "dense"
     from spatial_clip_tpu.ops import fused_attention as fa
 
-    fast = name.endswith("~fast")  # fast-softmax kernel variant
-    if fast:
-        name = name[:-5]
-    fa.FAST_SOFTMAX = fast  # set (or reset) per arm; read at trace time
+    # '~fast'/'~safe' pin the softmax variant per arm (read at trace time);
+    # bare arms keep the module default
+    if name.endswith("~fast"):
+        name, fa.FAST_SOFTMAX = name[:-5], True
+    elif name.endswith("~safe"):
+        name, fa.FAST_SOFTMAX = name[:-5], False
     if name.endswith("+lnf"):  # fused LN->GEMM kernel (ops/fused_ln_dense)
         name, ln_gemm = name[:-4], "pallas"
     if "%" in name:

@@ -192,12 +192,13 @@ def test_fast_softmax_parity(rng):
     def loss(q):
         return ((fused_attention(q, mask, H, True) - tgt) ** 2).sum()
 
+    prev = fa.FAST_SOFTMAX
     fa.FAST_SOFTMAX = True
     try:
         out_fast = fused_attention(qkv, mask, H, True)
         g_fast = jax.grad(loss)(qkv)
     finally:
-        fa.FAST_SOFTMAX = False
+        fa.FAST_SOFTMAX = prev
     ref = reference_attention(qkv, mask, H)
     g_ref = jax.grad(lambda q: ((reference_attention(q, mask, H) - tgt) ** 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(ref), atol=2e-5)
