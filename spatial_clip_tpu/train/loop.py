@@ -64,6 +64,7 @@ class TrainerConfig:
     grad_clip_norm: Optional[float] = 1.0
     opt: str = "adamw"  # adamw | sgd | lion (ref: params.py --opt)
     momentum: Optional[float] = None  # sgd momentum (ref: --momentum)
+    mu_dtype: Optional[str] = None  # 'bf16' halves adam-m traffic (opt-in)
     schedule: str = "cosine"
     warmup_steps: int = 500
     total_steps: int = 10_000
@@ -143,6 +144,7 @@ class Trainer:
             grad_clip_norm=self.cfg.grad_clip_norm,
             opt=self.cfg.opt,
             momentum=self.cfg.momentum,
+            mu_dtype=self.cfg.mu_dtype,
             schedule_name=self.cfg.schedule,
             warmup_steps=self.cfg.warmup_steps,
             total_steps=self.cfg.total_steps,

@@ -131,6 +131,7 @@ def make_optimizer(
     frozen_prefixes: Tuple[str, ...] = (),
     opt: str = "adamw",
     momentum: Optional[float] = None,
+    mu_dtype: Optional[str] = None,
     **schedule_kwargs,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """Optimizer + global-norm clipping + schedule, with the reference's
@@ -156,6 +157,10 @@ def make_optimizer(
                 eps=eps,
                 weight_decay=weight_decay,
                 mask=decay_mask(params),
+                # optional bf16 first moment: halves the m read+write in the
+                # fused optimizer pass (~0.7 ms/step on ViT-B); fp32 default
+                # keeps reference AMP semantics
+                mu_dtype=jnp.bfloat16 if mu_dtype in ("bf16", "bfloat16") else None,
             )
         )
     elif opt == "sgd":
