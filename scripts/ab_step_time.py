@@ -36,6 +36,30 @@ def build(arm: str, batch: int, model: str):
     ln_gemm = "dense"
     from spatial_clip_tpu.ops import fused_attention as fa
 
+    # arms without explicit suffixes get the module defaults (reset between
+    # builds so earlier arms' overrides don't leak)
+    if not hasattr(build, "_cap_defaults"):
+        build._cap_defaults = (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP)
+    fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP = build._cap_defaults
+
+    # '^pack'/'^nopack' pin the packed head-pair variant per arm
+    if "^pack" in name:
+        name = name.replace("^pack", "")
+        fa.PACK_PAIRS = True
+    elif "^nopack" in name:
+        name = name.replace("^nopack", "")
+        fa.PACK_PAIRS = False
+    # '^fwdN'/'^bwdN' pin the kernel batch-block caps per arm
+    import re as _re
+
+    m = _re.search(r"\^fwd(\d+)", name)
+    if m:
+        fa.FWD_BLOCK_CAP = int(m.group(1))
+        name = name.replace(m.group(0), "")
+    m = _re.search(r"\^bwd(\d+)", name)
+    if m:
+        fa.BWD_BLOCK_CAP = int(m.group(1))
+        name = name.replace(m.group(0), "")
     # '~fast'/'~safe' pin the softmax variant per arm (read at trace time);
     # bare arms keep the module default
     if name.endswith("~fast"):

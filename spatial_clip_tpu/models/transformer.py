@@ -285,7 +285,9 @@ class MultiHeadAttention(nn.Module):
             from spatial_clip_tpu.ops import fused_attention as fa
 
             mask2d = None
-            ok = fa.supported(self.heads, self.width)
+            ok = fa.supported(self.heads, self.width) and not (
+                self.qk_norm or self.scaled_cosine
+            )
             if attn_mask is not None:
                 lead = attn_mask.shape[:-2]
                 if all(s == 1 for s in lead):
@@ -309,6 +311,36 @@ class MultiHeadAttention(nn.Module):
                     name="out",
                 )(ctx)
             impl = "einsum"
+        if impl == "pallas3":
+            # Projection-fused attention (ops/fused_attention.qkv_attention):
+            # identical forward to 'pallas' (one fused GEMM -> group kernel),
+            # but the qkv GEMM lives inside the kernel's custom VJP so the
+            # backward consumes the kernel's (3,B,L,D) cotangent directly —
+            # the (B,L,3D) dqkv concatenate never materializes. Same "qkv"
+            # param tree; checkpoints unaffected.
+            from spatial_clip_tpu.ops import fused_attention as fa
+
+            mask2d = None
+            ok = fa.supported(self.heads, self.width) and not (
+                self.qk_norm or self.scaled_cosine
+            )
+            if attn_mask is not None:
+                lead = attn_mask.shape[:-2]
+                if all(s == 1 for s in lead):
+                    mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+                else:
+                    ok = False
+            if ok:
+                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                ctx = fa.qkv_attention(
+                    x.astype(self.dtype), kernel, bias, mask2d, self.heads,
+                    jax.default_backend() != "tpu",
+                )
+                return nn.Dense(
+                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="out",
+                )(ctx)
+            impl = "einsum"
         qkv = nn.Dense(
             3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(x)
@@ -321,7 +353,9 @@ class MultiHeadAttention(nn.Module):
             from spatial_clip_tpu.ops import fused_attention as fa
 
             mask2d = None
-            ok = fa.supported(self.heads, self.width)
+            ok = fa.supported(self.heads, self.width) and not (
+                self.qk_norm or self.scaled_cosine
+            )
             if attn_mask is not None:
                 lead = attn_mask.shape[:-2]
                 if all(s == 1 for s in lead):

@@ -50,6 +50,58 @@ from jax.experimental.pallas import tpu as pltpu
 FAST_SOFTMAX = True
 _FAST_SHIFT = 20.0
 
+# Packed batch-pairs: when L <= 64, each sub-head's dots cover a PAIR of
+# batch rows block-diagonally — ONE scores dot ((2Lp,hd)x(hd,2Lp)) and ONE
+# PV dot ((2Lp,2Lp)x(2Lp,hd)) per row pair — by stacking the two rows along
+# the sequence axis (at the sublane-tile-aligned offset Lp = roundup(L,16),
+# free: the MXU pads every dim to 128 anyway) and masking the off-blocks to
+# -1e30 (exp underflows to exactly 0, so the math is exact). At ViT
+# geometry (L=50, hd=64) the unpacked per-row dots waste ~94% of each
+# 128x128 MXU pass to padding (M=N=50, K=64); packing halves the pass
+# count. Text towers with L=77 keep the unpacked path automatically.
+# Batch-pairing (not sub-head-pairing) keeps every Mosaic operand at lane
+# offset 0 — sub-head pairs would need a bf16 lane rotate, unimplemented.
+PACK_PAIRS = False
+_PACK_MASK_NEG = -1e30
+
+
+def _roundup16(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def _pack_ok(block_b: int, L: int) -> bool:
+    # 2L >= Lp lets the zero gap rows be built as a (layout-inheriting)
+    # slice of the operand itself — see _pack2
+    Lp = _roundup16(L)
+    return PACK_PAIRS and block_b % 2 == 0 and 2 * Lp <= 128 and 2 * L >= Lp
+
+
+def _packed_mask(mask, L):
+    """(L,L) additive mask -> (2Lp,2Lp) block-diagonal mask. Off-blocks and
+    pad rows/columns get -1e30 (their probabilities underflow to exactly 0);
+    the pad-row DIAGONAL stays 0 so those (discarded) softmax rows normalize
+    to a finite one-hot instead of 0/0 = NaN, which would poison dv through
+    the packed backward dots."""
+    Lp = _roundup16(L)
+    m = jnp.full((2 * Lp, 2 * Lp), _PACK_MASK_NEG, jnp.float32)
+    m = m.at[:L, :L].set(mask)
+    m = m.at[Lp:Lp + L, Lp:Lp + L].set(mask)
+    idx = jnp.arange(2 * Lp)
+    pad = ((idx >= L) & (idx < Lp)) | (idx >= Lp + L)
+    return jnp.where(jnp.diag(pad), 0.0, m)
+
+
+def _pack2(x0, x1, L, Lp):
+    """Stack a batch-row pair along the sequence axis at offsets 0 and Lp.
+    The zero gap rows are built as ``x0-slice * 0`` rather than a fresh
+    jnp.zeros so they inherit the operand's exact vector layout — Mosaic
+    refuses to concatenate vectors whose (sublane, lane) offsets differ on
+    non-concat dimensions, and constants get assigned arbitrary layouts."""
+    if Lp == L:
+        return jnp.concatenate([x0, x1], axis=1)
+    pad = x0[:, :Lp - L] * jnp.zeros((), x0.dtype)
+    return jnp.concatenate([x0, pad, x1, pad], axis=1)  # (bB/2, 2Lp, hd)
+
 
 def _one_head_fwd(q, k, v, mask, scale):
     """(bB, L, hd) sub-head attention; fp32 softmax; returns (bB, L, hd)."""
@@ -84,26 +136,116 @@ def _p_from_scores(s):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hd, hpb):
+def _pair_fwd(qs, ks, vs, mask2, scale):
+    """Two sub-heads packed along the sequence axis into one scores dot and
+    one PV dot (mask2 is the (2Lp,2Lp) block-diagonal mask); exact math —
+    off-block probabilities are exp(-1e30) == 0."""
+    L = qs[0].shape[1]
+    Lp = _roundup16(L)
+    qp = _pack2(qs[0], qs[1], L, Lp)  # (bB, 2Lp, hd)
+    kp = _pack2(ks[0], ks[1], L, Lp)
+    vp = _pack2(vs[0], vs[1], L, Lp)
+    s = jax.lax.dot_general(
+        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale + mask2[None]
+    if FAST_SOFTMAX:
+        e = jnp.exp(s - _FAST_SHIFT)
+        o = jax.lax.dot_general(
+            e.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o = o * (1.0 / e.sum(axis=-1, keepdims=True))
+    else:
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return o[:, :L], o[:, Lp:Lp + L]
+
+
+def _pair_bwd(qs, ks, vs, dos, mask2, scale):
+    """Packed-pair attention VJP: every (.,L,.) dot of the standard backward
+    runs once at (.,2Lp,.) instead of twice; off-block entries of p (and
+    hence ds) are exactly zero, so cross terms vanish."""
+    L = qs[0].shape[1]
+    Lp = _roundup16(L)
+    qp = _pack2(qs[0], qs[1], L, Lp)
+    kp = _pack2(ks[0], ks[1], L, Lp)
+    vp = _pack2(vs[0], vs[1], L, Lp)
+    dop = _pack2(dos[0], dos[1], L, Lp)
+    s = jax.lax.dot_general(
+        qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s * scale + mask2[None]
+    p = _p_from_scores(s)
+    pb = p.astype(dop.dtype)
+    dv = jax.lax.dot_general(
+        pb, dop, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        dop, vp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
+        dop.dtype
+    )
+    dq = jax.lax.dot_general(
+        ds, kp, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, qp, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    return (
+        (dq[:, :L], dq[:, Lp:Lp + L]),
+        (dk[:, :L], dk[:, Lp:Lp + L]),
+        (dv[:, :L], dv[:, Lp:Lp + L]),
+    )
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hd, hpb,
+                packed=False):
     mask = mask_ref[:]
-    outs = []
+    outs = [None] * hpb
+    half = q_ref.shape[0] // 2
     for s in range(hpb):  # static sub-head loop; lane slices stay in VMEM
         q = q_ref[:, :, s * hd:(s + 1) * hd]
         k = k_ref[:, :, s * hd:(s + 1) * hd]
         v = v_ref[:, :, s * hd:(s + 1) * hd]
-        outs.append(_one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype))
+        if packed:  # mask is the (2Lp,2Lp) packed mask here
+            oa, ob = _pair_fwd(
+                (q[:half], q[half:]), (k[:half], k[half:]),
+                (v[:half], v[half:]), mask, scale,
+            )
+            outs[s] = jnp.concatenate([oa, ob], axis=0).astype(o_ref.dtype)
+        else:
+            outs[s] = _one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype)
     o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, scale, hd, hpb):
-    mask = mask_ref[:]
-    dqs, dks, dvs = [], [], []
+def _bwd_compute(q_ref, k_ref, v_ref, mask, do_ref, *, scale, hd, hpb,
+                 packed, out_dtype):
+    """Shared backward body: returns per-sub-head dq/dk/dv lists."""
+    dqs = [None] * hpb
+    dks = [None] * hpb
+    dvs = [None] * hpb
+    half = q_ref.shape[0] // 2
     for sub in range(hpb):
         q = q_ref[:, :, sub * hd:(sub + 1) * hd]
         k = k_ref[:, :, sub * hd:(sub + 1) * hd]
         v = v_ref[:, :, sub * hd:(sub + 1) * hd]
         do = do_ref[:, :, sub * hd:(sub + 1) * hd]
+        if packed:
+            dq2, dk2, dv2 = _pair_bwd(
+                (q[:half], q[half:]), (k[:half], k[half:]),
+                (v[:half], v[half:]), (do[:half], do[half:]), mask, scale,
+            )
+            dqs[sub] = jnp.concatenate(dq2, axis=0).astype(out_dtype)
+            dks[sub] = jnp.concatenate(dk2, axis=0).astype(out_dtype)
+            dvs[sub] = jnp.concatenate(dv2, axis=0).astype(out_dtype)
+            continue
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -112,12 +254,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
         p = _p_from_scores(s)  # (bB, Lq, Lk) fp32
 
         pb = p.astype(do.dtype)
-        # dv[b,k,d] = sum_q p[b,q,k] do[b,q,d]
         dv = jax.lax.dot_general(
             pb, do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # dp[b,q,k] = sum_d do[b,q,d] v[b,k,d]
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -125,22 +265,43 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
         ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
             do.dtype
         )
-        # dq[b,q,d] = sum_k ds[b,q,k] k[b,k,d]
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # dk[b,k,d] = sum_q ds[b,q,k] q[b,q,d]
         dk = jax.lax.dot_general(
             ds, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dqs.append(dq.astype(dq_ref.dtype))
-        dks.append(dk.astype(dk_ref.dtype))
-        dvs.append(dv.astype(dv_ref.dtype))
+        dqs[sub] = dq.astype(out_dtype)
+        dks[sub] = dk.astype(out_dtype)
+        dvs[sub] = dv.astype(out_dtype)
+    return dqs, dks, dvs
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale, hd, hpb, packed=False):
+    dqs, dks, dvs = _bwd_compute(
+        q_ref, k_ref, v_ref, mask_ref[:], do_ref,
+        scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=dq_ref.dtype,
+    )
     dq_ref[:] = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
     dk_ref[:] = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
     dv_ref[:] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
+
+
+def _bwd_kernel3(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref,
+                 *, scale, hd, hpb, packed=False):
+    """Backward emitting the cotangent as one (3, bB, L, lanes) block —
+    dq/dk/dv stack along a leading part axis, so the consumer-side
+    (B,L,3D) concatenate never exists (see qkv_attention)."""
+    dqs, dks, dvs = _bwd_compute(
+        q_ref, k_ref, v_ref, mask_ref[:], do_ref,
+        scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
+    )
+    d3_ref[0] = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    d3_ref[1] = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    d3_ref[2] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
 
 
 # Tunable batch-block caps (scripts/bench_attn_kernel.py): the fwd working
@@ -338,7 +499,7 @@ def supported(heads: int, dim: int) -> bool:
     return heads * hd == dim and heads_per_block(heads, hd) is not None
 
 
-def _specs(block_b, L, lanes, D, n_groups):
+def _specs(block_b, L, lanes, D, n_groups, mask_len=None):
     def q_map(i, j):
         return (i, 0, j)
 
@@ -349,11 +510,12 @@ def _specs(block_b, L, lanes, D, n_groups):
         return (i, 0, off + j)
 
     blk = (block_b, L, lanes)
+    ml = mask_len or L
     return [
         pl.BlockSpec(blk, q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, k_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(blk, v_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((L, L), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ml, ml), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -538,15 +700,21 @@ def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
             interpret=interpret,
             cost_estimate=cost,
         )(qkv, qkv, qkv, mask.astype(jnp.float32))
+    pack = _pack_ok(block_b, L)
+    kmask = mask.astype(jnp.float32)
+    if pack:
+        kmask = _packed_mask(kmask, L)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb),
+        functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
         grid=grid,
-        in_specs=_specs(block_b, L, lanes, D, n_groups),
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0]),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
         cost_estimate=cost,
-    )(qkv, qkv, qkv, mask.astype(jnp.float32))
+    )(qkv, qkv, qkv, kmask)
     return out
 
 
@@ -619,10 +787,16 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
             interpret=interpret,
             cost_estimate=cost,
         )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
+    pack = _pack_ok(block_b, L)
+    kmask = mask.astype(jnp.float32)
+    if pack:
+        kmask = _packed_mask(kmask, L)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb),
+        functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
         grid=grid,
-        in_specs=_specs(block_b, L, lanes, D, n_groups)
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0])
         + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
@@ -631,8 +805,45 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
         out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],
         interpret=interpret,
         cost_estimate=cost,
-    )(qkv, qkv, qkv, mask.astype(jnp.float32), g.astype(qkv.dtype))
+    )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
     return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+def _bwd_pallas3(qkv, mask, g, heads, interpret):
+    """Backward whose cotangent comes out as ONE (3, B, L, D) array — each
+    grid step writes its dq/dk/dv lane group as a single contiguous
+    (3, bB, L, lanes) block. Consumed by :func:`qkv_attention`'s projection
+    backward, which contracts this layout directly (no (B,L,3D) concat)."""
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, BWD_BLOCK_CAP
+    )
+    scale = hd ** -0.5
+    blk = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    pack = _pack_ok(block_b, L)
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel3, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0])
+        + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (3, block_b, L, lanes), lambda i, j: (0, i, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
 
 
 def _bwd_pallas_slab(qkv, mask, g, heads, interpret):
@@ -664,6 +875,104 @@ def _bwd_pallas_slab(qkv, mask, g, heads, interpret):
 
 
 fused_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused attention (attn_impl='pallas3'): the fused qkv GEMM and
+# the attention kernel live inside ONE custom_vjp, so the backward can use
+# the kernel's native cotangent layout. Forward is byte-identical to the
+# standard path (one (B,L,3D) GEMM -> group kernel). Backward: the Pallas
+# kernel emits (3, B, L, D) — one contiguous write per grid step — and
+# dW/dx/db contract that layout directly:
+#   dx[b,l,i]    = sum_{p,o} d3[p,b,l,o] * W[i, p*D+o]      (one dot)
+#   dW[i,p*D+o]  = sum_{b,l} x[b,l,i]   * d3[p,b,l,o]       (one dot)
+#   db           = sum_{b,l} d3                              (one reduce)
+# so the profiled (B,L,3D) dqkv concatenate (dynamic-update-slice family)
+# never materializes, at zero extra HBM traffic — unlike weight-permutation
+# (pallas_inter) or split-GEMM alternatives, both measured slower.
+# ---------------------------------------------------------------------------
+
+_bwd3_cp = None
+
+
+def _bwd3_infer(heads, interpret, interleaved, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return NamedSharding(mesh, P(None, b, None, None))
+
+
+def _bwd3_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                    result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    arg_shardings = (s, NamedSharding(mesh, P(None, None)), s)
+    result_sharding = NamedSharding(mesh, P(None, b, None, None))
+
+    def lower_fn(qkv, mask, g):
+        return _bwd_pallas3(qkv, mask, g, heads, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _get_bwd3_cp():
+    global _bwd3_cp
+    if _bwd3_cp is None:
+        _bwd3_cp = _make_cp(
+            lambda qkv, mask, g, heads, interpret, interleaved: _bwd_pallas3(
+                qkv, mask, g, heads, interpret
+            ),
+            _bwd3_infer, _bwd3_partition,
+            "B l d, m n, B l e -> t B l f", 3,
+        )
+    return _bwd3_cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def qkv_attention(x, w, b, mask, heads: int, interpret: bool = False):
+    """Fused qkv projection + multi-head attention with a concat-free VJP.
+
+    x: (B, L, Din) residual-stream input (post-LN), w: (Din, 3*D) fused qkv
+    weight, b: (3*D,) bias — the identical parameters the standard path uses
+    (checkpoints unaffected). Returns the pre-output-projection context
+    (B, L, D). See the block comment above for the backward formulation.
+    """
+    qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
+    return fused_attention(qkv, mask, heads, interpret)
+
+
+def _qkv_attn_fwd(x, w, b, mask, heads, interpret):
+    qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
+    had_mask = mask is not None
+    m = (mask if had_mask
+         else jnp.zeros((x.shape[1], x.shape[1]), jnp.float32))
+    out = _get_fwd_cp()(qkv, m, heads, interpret, False)
+    return out, (x, w, qkv, m, had_mask)
+
+
+def _qkv_attn_bwd(heads, interpret, res, g):
+    x, w, qkv, m, had_mask = res
+    d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)  # (3, B, L, D)
+    din = w.shape[0]
+    w3 = w.astype(d3.dtype).reshape(din, 3, -1)
+    dx = jax.lax.dot_general(
+        d3, w3, (((0, 3), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, d3, (((0, 1), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(din, -1).astype(w.dtype)
+    db = jnp.sum(d3, axis=(1, 2), dtype=jnp.float32).reshape(-1).astype(
+        w.dtype
+    )
+    dmask = jnp.zeros_like(m) if had_mask else None
+    return dx, dw, db, dmask
+
+
+qkv_attention.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
 
 
 def reference_attention(qkv, mask, heads):

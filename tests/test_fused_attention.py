@@ -204,3 +204,169 @@ def test_fast_softmax_parity(rng):
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Packed head-pairs (PACK_PAIRS) and projection-fused attention (pallas3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def packed():
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    prev = fa.PACK_PAIRS
+    fa.PACK_PAIRS = True
+    yield
+    fa.PACK_PAIRS = prev
+
+
+# hd=64 pairs (packs), hd=32 4-head groups (packs pairwise), hd=128 (no pack)
+@pytest.mark.parametrize("B,L,D,H", [(4, 11, 128, 2), (2, 9, 256, 8), (2, 9, 256, 2)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_forward_parity(rng, packed, B, L, D, H, causal):
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = None
+    if causal:
+        mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    out = fused_attention(qkv, mask, H, True)
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_gradient_parity(rng, packed):
+    B, L, D, H = 4, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    g1 = jax.grad(lambda q: ((fused_attention(q, mask, H, True) - tgt) ** 2).sum())(qkv)
+    g2 = jax.grad(lambda q: ((reference_attention(q, mask, H) - tgt) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3, rtol=1e-4)
+
+
+def test_packed_disabled_for_long_seq(rng, packed):
+    """2L > 128 must keep the unpacked path (parity is the observable)."""
+    B, L, D, H = 2, 77, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    out = fused_attention(qkv, None, H, True)
+    ref = reference_attention(qkv, None, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def _qkv_attn_ref(x, w, b, mask, H):
+    qkv = x @ w + b
+    return reference_attention(qkv, mask, H)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_qkv_attention_parity(rng, causal):
+    """qkv_attention (projection-fused VJP) must match GEMM+reference for the
+    output AND the grads wrt x, W, and b."""
+    from spatial_clip_tpu.ops.fused_attention import qkv_attention
+
+    B, L, Din, D, H = 3, 11, 128, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+    mask = None
+    if causal:
+        mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    out = qkv_attention(x, w, b, mask, H, True)
+    ref = _qkv_attn_ref(x, w, b, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def loss(args):
+        return ((qkv_attention(*args, mask, H, True) - tgt) ** 2).sum()
+
+    def loss_ref(args):
+        return ((_qkv_attn_ref(*args, mask, H) - tgt) ** 2).sum()
+
+    g = jax.grad(loss)((x, w, b))
+    g_ref = jax.grad(loss_ref)((x, w, b))
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-2, rtol=1e-3)
+
+
+def test_qkv_attention_packed_parity(rng, packed):
+    from spatial_clip_tpu.ops.fused_attention import qkv_attention
+
+    B, L, Din, D, H = 3, 9, 128, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(args):
+        return ((qkv_attention(*args, mask, H, True) - tgt) ** 2).sum()
+
+    def loss_ref(args):
+        return ((_qkv_attn_ref(*args, mask, H) - tgt) ** 2).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(qkv_attention(x, w, b, mask, H, True)),
+        np.asarray(_qkv_attn_ref(x, w, b, mask, H)), atol=1e-4)
+    g = jax.grad(loss)((x, w, b))
+    g_ref = jax.grad(loss_ref)((x, w, b))
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-2, rtol=1e-3)
+
+
+def test_model_level_parity_pallas3(rng):
+    """attn_impl='pallas3' must match 'einsum' with the identical param
+    tree (the projection params stay under the same 'qkv' collection)."""
+    from spatial_clip_tpu import create_model
+
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8).astype(np.float32)
+    texts = rng.integers(0, 512, (2, 16)).astype(np.int32)
+    wide = dict(
+        vision_cfg=dict(width=128, heads=2),
+        text_cfg=dict(width=128, heads=2),
+    )
+    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum", **wide)
+    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas3", **wide)
+    assert jax.tree_util.tree_structure(b1.params) == jax.tree_util.tree_structure(
+        b2.params
+    )
+    i1 = np.asarray(b1.encode_image(imgs, normalize=False))
+    i2 = np.asarray(b2.encode_image(imgs, params=b1.params, normalize=False))
+    t1 = np.asarray(b1.encode_text(texts, normalize=False))
+    t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
+    np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
+
+
+def test_qkv_attention_sharded_batch(rng):
+    """Batch-sharded mesh: the bwd3 partitioning rule must keep the kernel
+    per-shard and produce reference grads (dW all-reduced by GSPMD)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from spatial_clip_tpu.ops.fused_attention import qkv_attention
+
+    B, L, Din, D, H = 16, 9, 128, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+
+    @jax.jit
+    def loss(x, w, b):
+        return (qkv_attention(x, w, b, mask, H, True) ** 2).sum()
+
+    out = loss(x_s, w, b)
+    ref = (_qkv_attn_ref(x, w, b, mask, H) ** 2).sum()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    gx, gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(x_s, w, b)
+    gx_r, gw_r = jax.grad(
+        lambda x, w: (_qkv_attn_ref(x, w, b, mask, H) ** 2).sum(), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=2e-2,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=2e-2,
+                               rtol=1e-3)
