@@ -49,6 +49,13 @@ def build(arm: str, batch: int, model: str):
     elif "^nopack" in name:
         name = name.replace("^nopack", "")
         fa.PACK_PAIRS = False
+    # '^dx'/'^nodx' pin the dx-in-kernel backward (qkv_attention) per arm
+    if "^dx" in name and "^nodx" not in name:
+        name = name.replace("^dx", "")
+        fa.DX_IN_KERNEL = True
+    elif "^nodx" in name:
+        name = name.replace("^nodx", "")
+        fa.DX_IN_KERNEL = False
     # '^fwdN'/'^bwdN' pin the kernel batch-block caps per arm
     import re as _re
 

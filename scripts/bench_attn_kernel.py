@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--fwd-cap", type=int, default=None)
     ap.add_argument("--bwd-cap", type=int, default=None)
     ap.add_argument("--group-lanes", type=int, default=None)
+    ap.add_argument("--pack", action="store_true")
+    ap.add_argument("--skip-ref", action="store_true")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
@@ -55,6 +57,8 @@ def main():
         fa.BWD_BLOCK_CAP = args.bwd_cap
     if args.group_lanes:
         fa.GROUP_LANES = args.group_lanes
+    if args.pack:
+        fa.PACK_PAIRS = True
 
     rng = np.random.default_rng(0)
     results = {}
@@ -94,10 +98,11 @@ def main():
 
         r = {
             "fused_fwd_ms": round(per_layer(fused), 3),
-            "ref_fwd_ms": round(per_layer(ref), 3),
             "fused_fwdbwd_ms": round(per_layer(gradf(fused)), 3),
-            "ref_fwdbwd_ms": round(per_layer(gradf(ref)), 3),
         }
+        if not args.skip_ref:
+            r["ref_fwd_ms"] = round(per_layer(ref), 3)
+            r["ref_fwdbwd_ms"] = round(per_layer(gradf(ref)), 3)
         results[tag] = r
         print(tag, json.dumps(r), flush=True)
     print(json.dumps({"fwd_cap": fa.FWD_BLOCK_CAP, "bwd_cap": fa.BWD_BLOCK_CAP, "group_lanes": fa.GROUP_LANES,

@@ -304,6 +304,50 @@ def _bwd_kernel3(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref,
     d3_ref[2] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
 
 
+def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
+                    wv_ref, d3_ref, dx_ref, acc_ref,
+                    *, scale, hd, hpb, packed=False):
+    """_bwd_kernel3 + the input-gradient GEMM fused in: each head-group step
+    j accumulates dq@Wq_j^T + dk@Wk_j^T + dv@Wv_j^T into an f32 VMEM
+    scratch; the last j writes dx. XLA's own dx GEMM needs the (3,B,L,D)
+    cotangent relayed out into (B·L, 3D) form first — a full-activation copy
+    (the very bytes the dqkv concatenate used to cost); contracting per
+    lane-group inside the kernel never materializes that layout."""
+    dqs, dks, dvs = _bwd_compute(
+        q_ref, k_ref, v_ref, mask_ref[:], do_ref,
+        scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
+    )
+    dq = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    dk = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
+    d3_ref[0] = dq
+    d3_ref[1] = dk
+    d3_ref[2] = dv
+
+    j = pl.program_id(1)
+    dims = (((2,), (1,)), ((), ()))  # (bB,L,lanes) x (Din,lanes) -> (bB,L,Din)
+    contrib = (
+        jax.lax.dot_general(dq, wq_ref[:], dims,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(dk, wk_ref[:], dims,
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(dv, wv_ref[:], dims,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + contrib
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _emit():
+        dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
+
+
 # Tunable batch-block caps (scripts/bench_attn_kernel.py): the fwd working
 # set fits 16MB VMEM at 32 rows with double buffering; the bwd kernel holds
 # ~2.5x the intermediates so it defaults lower.
@@ -877,6 +921,57 @@ def _bwd_pallas_slab(qkv, mask, g, heads, interpret):
 fused_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret):
+    """(d3, dx) backward: d3 as in _bwd_pallas3 plus the fused input-grad
+    GEMM (see _bwd_kernel3_dx). w must be pre-cast to the activation dtype;
+    dx comes back in qkv.dtype (accumulated in f32)."""
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, BWD_BLOCK_CAP
+    )
+    din = w.shape[0]
+    scale = hd ** -0.5
+    blk = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=(11 * B * heads * L * L * hd) + 6 * B * L * D * din,
+        bytes_accessed=3 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    pack = _pack_ok(block_b, L)
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    wblk = (din, lanes)
+    w_specs = [
+        pl.BlockSpec(wblk, functools.partial(
+            lambda i, j, off: (0, off + j), off=p * n_groups),
+            memory_space=pltpu.VMEM)
+        for p in range(3)
+    ]
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel3_dx, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0])
+        + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)]
+        + w_specs,
+        out_specs=[
+            pl.BlockSpec((3, block_b, L, lanes), lambda i, j: (0, i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, L, din), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, L, din), qkv.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_b, L, din), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=cost,
+    )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype), w, w, w)
+
+
 # ---------------------------------------------------------------------------
 # Projection-fused attention (attn_impl='pallas3'): the fused qkv GEMM and
 # the attention kernel live inside ONE custom_vjp, so the backward can use
@@ -930,6 +1025,56 @@ def _get_bwd3_cp():
     return _bwd3_cp
 
 
+# dx-in-kernel backward (DX_IN_KERNEL): fuse the input-gradient GEMM into
+# the attention backward kernel. XLA's standalone dx GEMM must first relay
+# the (3,B,L,D) cotangent out into (B*L, 3D) form — a full-activation copy
+# per layer (observed in the optimized HLO) costing the same bytes as the
+# dqkv concatenate it replaced. Contracting each lane group against its
+# weight slice inside the kernel (f32 VMEM accumulator over head-group
+# steps) eliminates that relayout entirely; dw/db still contract the d3
+# monolith in XLA, which needs only a free bitcast.
+DX_IN_KERNEL = False
+
+_bwd3dx_cp = None
+
+
+def _bwd3dx_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                  result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return (NamedSharding(mesh, P(None, b, None, None)),
+            NamedSharding(mesh, P(b, None, None)))
+
+
+def _bwd3dx_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                      result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    arg_shardings = (s, rep2, s, rep2)
+    result_sharding = (NamedSharding(mesh, P(None, b, None, None)), s)
+
+    def lower_fn(qkv, mask, g, w):
+        return _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _get_bwd3dx_cp():
+    global _bwd3dx_cp
+    if _bwd3dx_cp is None:
+        _bwd3dx_cp = _make_cp(
+            lambda qkv, mask, g, w, heads, interpret, interleaved:
+            _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret),
+            _bwd3dx_infer, _bwd3dx_partition,
+            "B l d, m n, B l e, w v -> t B l f, B l w", 4,
+        )
+    return _bwd3dx_cp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def qkv_attention(x, w, b, mask, heads: int, interpret: bool = False):
     """Fused qkv projection + multi-head attention with a concat-free VJP.
@@ -954,13 +1099,19 @@ def _qkv_attn_fwd(x, w, b, mask, heads, interpret):
 
 def _qkv_attn_bwd(heads, interpret, res, g):
     x, w, qkv, m, had_mask = res
-    d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)  # (3, B, L, D)
     din = w.shape[0]
-    w3 = w.astype(d3.dtype).reshape(din, 3, -1)
-    dx = jax.lax.dot_general(
-        d3, w3, (((0, 3), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if DX_IN_KERNEL:
+        d3, dx = _get_bwd3dx_cp()(
+            qkv, m, g, w.astype(qkv.dtype), heads, interpret, False
+        )
+        dx = dx.astype(x.dtype)
+    else:
+        d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)  # (3,B,L,D)
+        w3 = w.astype(d3.dtype).reshape(din, 3, -1)
+        dx = jax.lax.dot_general(
+            d3, w3, (((0, 3), (1, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     dw = jax.lax.dot_general(
         x, d3, (((0, 1), (1, 2)), ((), ())),
         preferred_element_type=jnp.float32,

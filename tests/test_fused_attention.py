@@ -370,3 +370,45 @@ def test_qkv_attention_sharded_batch(rng):
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=2e-2,
                                rtol=1e-3)
+
+
+@pytest.fixture
+def dx_in_kernel():
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    prev = fa.DX_IN_KERNEL
+    fa.DX_IN_KERNEL = True
+    yield
+    fa.DX_IN_KERNEL = prev
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_qkv_attention_dx_in_kernel(rng, dx_in_kernel, pack):
+    """DX_IN_KERNEL (input-grad GEMM fused into the backward kernel) must
+    reproduce the reference grads wrt x, W, b."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    prev = fa.PACK_PAIRS
+    fa.PACK_PAIRS = pack
+    try:
+        B, L, Din, D, H = 4, 9, 128, 128, 2
+        x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+        mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+        tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+        from spatial_clip_tpu.ops.fused_attention import qkv_attention
+
+        def loss(args):
+            return ((qkv_attention(*args, mask, H, True) - tgt) ** 2).sum()
+
+        def loss_ref(args):
+            return ((_qkv_attn_ref(*args, mask, H) - tgt) ** 2).sum()
+
+        g = jax.grad(loss)((x, w, b))
+        g_ref = jax.grad(loss_ref)((x, w, b))
+        for a, r in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=2e-2, rtol=1e-3)
+    finally:
+        fa.PACK_PAIRS = prev
