@@ -305,14 +305,18 @@ def _bwd_kernel3(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref,
 
 
 def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
-                    wv_ref, d3_ref, dx_ref, acc_ref,
+                    wv_ref, d3_ref, dx_ref, db_ref, acc_ref,
                     *, scale, hd, hpb, packed=False):
-    """_bwd_kernel3 + the input-gradient GEMM fused in: each head-group step
-    j accumulates dq@Wq_j^T + dk@Wk_j^T + dv@Wv_j^T into an f32 VMEM
-    scratch; the last j writes dx. XLA's own dx GEMM needs the (3,B,L,D)
-    cotangent relayed out into (B·L, 3D) form first — a full-activation copy
-    (the very bytes the dqkv concatenate used to cost); contracting per
-    lane-group inside the kernel never materializes that layout."""
+    """_bwd_kernel3 + the input-gradient GEMM and bias-gradient reduce fused
+    in. Each head-group step j accumulates dq@Wq_j^T + dk@Wk_j^T + dv@Wv_j^T
+    into an f32 VMEM scratch (last j writes dx) and its (3, lanes) bias-grad
+    partial into a grid-resident db block. XLA's own dx GEMM needs the
+    (3,B,L,D) cotangent relaid out into (B·L, 3D) form — a full-activation
+    copy (the very bytes the dqkv concatenate used to cost) — and its db
+    reduce is another full read (observed: %convert_reduce_fusion over d3);
+    in-kernel, both consume vectors already resident in VMEM. d3's only XLA
+    consumer left is the dW GEMM, which reads the monolith via a free
+    bitcast."""
     dqs, dks, dvs = _bwd_compute(
         q_ref, k_ref, v_ref, mask_ref[:], do_ref,
         scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
@@ -324,6 +328,7 @@ def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
     d3_ref[1] = dk
     d3_ref[2] = dv
 
+    i = pl.program_id(0)
     j = pl.program_id(1)
     dims = (((2,), (1,)), ((), ()))  # (bB,L,lanes) x (Din,lanes) -> (bB,L,Din)
     contrib = (
@@ -347,12 +352,29 @@ def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
     def _emit():
         dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
+    # bias grad: db block (n_groups, 3, lanes) has a constant index map, so
+    # it stays VMEM-resident across the whole grid and flushes once
+    @pl.when((i == 0) & (j == 0))
+    def _db_init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    bsum = jnp.concatenate(
+        [jnp.sum(t.astype(jnp.float32), axis=(0, 1))[None, :]
+         for t in (dq, dk, dv)], axis=0,
+    )  # (3, lanes)
+    db_ref[j] = db_ref[j] + bsum
+
 
 # Tunable batch-block caps (scripts/bench_attn_kernel.py): the fwd working
 # set fits 16MB VMEM at 32 rows with double buffering; the bwd kernel holds
 # ~2.5x the intermediates so it defaults lower.
 FWD_BLOCK_CAP = 32
 BWD_BLOCK_CAP = 16
+# Scoped-VMEM budget handed to Mosaic per kernel. The platform default
+# (16 MB) rejects batch blocks >32 rows by ~0.8 MB; v5e has 128 MB of VMEM,
+# so a larger scoped budget unlocks bigger blocks (fewer grid steps, less
+# per-step overhead) — tuned via scripts/bench_attn_kernel.py.
+VMEM_LIMIT_BYTES = 64 * 2 ** 20
 # 'group' (default): grid (batch, head-group) with 128-lane strided blocks —
 # measured 103.7 ms/step at model level vs 106.8 for 'slab'. 'slab': grid
 # over batch blocks only; each step DMAs the contiguous (bB, L, 3D) qkv slab,
@@ -758,6 +780,8 @@ def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
         out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
         cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qkv, qkv, qkv, kmask)
     return out
 
@@ -849,6 +873,8 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
         out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],
         interpret=interpret,
         cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
@@ -887,6 +913,8 @@ def _bwd_pallas3(qkv, mask, g, heads, interpret):
         out_shape=jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
         interpret=interpret,
         cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
 
 
@@ -922,9 +950,11 @@ fused_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
 def _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret):
-    """(d3, dx) backward: d3 as in _bwd_pallas3 plus the fused input-grad
-    GEMM (see _bwd_kernel3_dx). w must be pre-cast to the activation dtype;
-    dx comes back in qkv.dtype (accumulated in f32)."""
+    """(d3, dx, db_raw) backward: d3 as in _bwd_pallas3 plus the fused
+    input-grad GEMM and bias-grad reduce (see _bwd_kernel3_dx). w must be
+    pre-cast to the activation dtype; dx comes back in qkv.dtype
+    (accumulated in f32); db_raw is (n_groups, 3, lanes) f32 — reassemble
+    with ``db_raw.transpose(1, 0, 2).reshape(3*D)``."""
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
         qkv, heads, BWD_BLOCK_CAP
     )
@@ -961,14 +991,19 @@ def _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, L, din), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 3, lanes), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
             jax.ShapeDtypeStruct((B, L, din), qkv.dtype),
+            jax.ShapeDtypeStruct((n_groups, 3, lanes), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((block_b, L, din), jnp.float32)],
         interpret=interpret,
         cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype), w, w, w)
 
 
@@ -1044,7 +1079,8 @@ def _bwd3dx_infer(heads, interpret, interleaved, mesh, arg_shapes,
 
     b, P = _batch_spec(arg_shapes)
     return (NamedSharding(mesh, P(None, b, None, None)),
-            NamedSharding(mesh, P(b, None, None)))
+            NamedSharding(mesh, P(b, None, None)),
+            NamedSharding(mesh, P(None, None, None)))
 
 
 def _bwd3dx_partition(heads, interpret, interleaved, mesh, arg_shapes,
@@ -1055,10 +1091,16 @@ def _bwd3dx_partition(heads, interpret, interleaved, mesh, arg_shapes,
     s = NamedSharding(mesh, P(b, None, None))
     rep2 = NamedSharding(mesh, P(None, None))
     arg_shardings = (s, rep2, s, rep2)
-    result_sharding = (NamedSharding(mesh, P(None, b, None, None)), s)
+    result_sharding = (NamedSharding(mesh, P(None, b, None, None)), s,
+                       NamedSharding(mesh, P(None, None, None)))
 
     def lower_fn(qkv, mask, g, w):
-        return _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret)
+        d3, dx, db = _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret)
+        if b is not None:
+            # db is a partial sum over this shard's batch rows; the result
+            # is declared replicated, so reduce across the batch axis here
+            db = jax.lax.psum(db, b)
+        return d3, dx, db
 
     return mesh, lower_fn, result_sharding, arg_shardings
 
@@ -1070,7 +1112,7 @@ def _get_bwd3dx_cp():
             lambda qkv, mask, g, w, heads, interpret, interleaved:
             _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret),
             _bwd3dx_infer, _bwd3dx_partition,
-            "B l d, m n, B l e, w v -> t B l f, B l w", 4,
+            "B l d, m n, B l e, w v -> t B l f, B l w, p q r", 4,
         )
     return _bwd3dx_cp
 
@@ -1101,7 +1143,7 @@ def _qkv_attn_bwd(heads, interpret, res, g):
     x, w, qkv, m, had_mask = res
     din = w.shape[0]
     if DX_IN_KERNEL:
-        d3, dx = _get_bwd3dx_cp()(
+        d3, dx, db_raw = _get_bwd3dx_cp()(
             qkv, m, g, w.astype(qkv.dtype), heads, interpret, False
         )
         dx = dx.astype(x.dtype)
@@ -1116,9 +1158,13 @@ def _qkv_attn_bwd(heads, interpret, res, g):
         x, d3, (((0, 1), (1, 2)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(din, -1).astype(w.dtype)
-    db = jnp.sum(d3, axis=(1, 2), dtype=jnp.float32).reshape(-1).astype(
-        w.dtype
-    )
+    if DX_IN_KERNEL:
+        # (n_groups, 3, lanes) -> [dbq | dbk | dbv]
+        db = db_raw.transpose(1, 0, 2).reshape(-1).astype(w.dtype)
+    else:
+        db = jnp.sum(d3, axis=(1, 2), dtype=jnp.float32).reshape(-1).astype(
+            w.dtype
+        )
     dmask = jnp.zeros_like(m) if had_mask else None
     return dx, dw, db, dmask
 
