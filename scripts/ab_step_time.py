@@ -49,13 +49,16 @@ def build(arm: str, batch: int, model: str):
     elif "^nopack" in name:
         name = name.replace("^nopack", "")
         fa.PACK_PAIRS = False
-    # '^dx'/'^nodx' pin the dx-in-kernel backward (qkv_attention) per arm
-    if "^dx" in name and "^nodx" not in name:
-        name = name.replace("^dx", "")
-        fa.DX_IN_KERNEL = True
-    elif "^nodx" in name:
+    # '^dx'/'^db'/'^nodx' pin the qkv_attention backward fusion mode per arm
+    if "^nodx" in name:
         name = name.replace("^nodx", "")
-        fa.DX_IN_KERNEL = False
+        fa.BWD_FUSE = "none"
+    elif "^dx" in name:
+        name = name.replace("^dx", "")
+        fa.BWD_FUSE = "dxdb"
+    elif "^db" in name:
+        name = name.replace("^db", "")
+        fa.BWD_FUSE = "db"
     # '^fwdN'/'^bwdN' pin the kernel batch-block caps per arm
     import re as _re
 

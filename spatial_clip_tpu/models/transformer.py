@@ -311,6 +311,36 @@ class MultiHeadAttention(nn.Module):
                     name="out",
                 )(ctx)
             impl = "einsum"
+        if impl == "pallas_t":
+            # Transposed-input fused attention: the kernel consumes the
+            # logically transposed no-bias qkv GEMM output — whose required
+            # {2,1,0} layout is exactly the GEMM's natural physical bytes,
+            # so no relayout copy or separate bias-add pass survives (the
+            # bias folds into the kernel; see ops/fused_attention.py).
+            from spatial_clip_tpu.ops import fused_attention as fa
+
+            mask2d = None
+            ok = fa.supported(self.heads, self.width) and not (
+                self.qk_norm or self.scaled_cosine
+            )
+            if attn_mask is not None:
+                lead = attn_mask.shape[:-2]
+                if all(s == 1 for s in lead):
+                    mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+                else:
+                    ok = False
+            if ok:
+                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                qkv_nb = x.astype(self.dtype) @ kernel.astype(self.dtype)
+                ctx = fa.fused_attention_t(
+                    qkv_nb, bias[None].astype(self.dtype), mask2d, self.heads,
+                    jax.default_backend() != "tpu",
+                )
+                return nn.Dense(
+                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="out",
+                )(ctx)
+            impl = "einsum"
         if impl == "pallas3":
             # Projection-fused attention (ops/fused_attention.qkv_attention):
             # identical forward to 'pallas' (one fused GEMM -> group kernel),

@@ -304,6 +304,38 @@ def _bwd_kernel3(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref,
     d3_ref[2] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
 
 
+def _bwd_kernel3_db(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref, db_ref,
+                    *, scale, hd, hpb, packed=False):
+    """_bwd_kernel3 + ONLY the bias-grad reduce fused in (a cheap VPU sum of
+    vectors already in VMEM). Unlike DX_IN_KERNEL (which pulls the dx GEMM
+    out of XLA and loses ~13 ms/step -- tiny-M dots serialize with the
+    attention dots), this removes the separate %convert_reduce_fusion pass
+    (59 MB/layer read of d3) at no MXU cost."""
+    dqs, dks, dvs = _bwd_compute(
+        q_ref, k_ref, v_ref, mask_ref[:], do_ref,
+        scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
+    )
+    dq = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    dk = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
+    d3_ref[0] = dq
+    d3_ref[1] = dk
+    d3_ref[2] = dv
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _db_init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    bsum = jnp.concatenate(
+        [jnp.sum(t.astype(jnp.float32), axis=(0, 1))[None, :]
+         for t in (dq, dk, dv)], axis=0,
+    )  # (3, lanes)
+    db_ref[j] = db_ref[j] + bsum
+
+
 def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
                     wv_ref, d3_ref, dx_ref, db_ref, acc_ref,
                     *, scale, hd, hpb, packed=False):
@@ -1068,9 +1100,95 @@ def _get_bwd3_cp():
 # weight slice inside the kernel (f32 VMEM accumulator over head-group
 # steps) eliminates that relayout entirely; dw/db still contract the d3
 # monolith in XLA, which needs only a free bitcast.
-DX_IN_KERNEL = False
+# BWD_FUSE: 'none' -> plain d3 kernel; 'db' -> d3 + in-kernel bias grad
+# (measured winner candidate: removes the separate 59MB/layer db read);
+# 'dxdb' -> also fuse the input-grad GEMM (measured LOSS, +13 ms/step --
+# tiny-M dx dots serialize with the attention dots; ships for evidence).
+BWD_FUSE = "none"
 
 _bwd3dx_cp = None
+_bwd3db_cp = None
+
+
+def _bwd3db_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                  result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return (NamedSharding(mesh, P(None, b, None, None)),
+            NamedSharding(mesh, P(None, None, None)))
+
+
+def _bwd3db_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                      result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    arg_shardings = (s, NamedSharding(mesh, P(None, None)), s)
+    result_sharding = (NamedSharding(mesh, P(None, b, None, None)),
+                       NamedSharding(mesh, P(None, None, None)))
+
+    def lower_fn(qkv, mask, g):
+        d3, db = _bwd_pallas3_db(qkv, mask, g, heads, interpret)
+        if b is not None:
+            db = jax.lax.psum(db, b)
+        return d3, db
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _get_bwd3db_cp():
+    global _bwd3db_cp
+    if _bwd3db_cp is None:
+        _bwd3db_cp = _make_cp(
+            lambda qkv, mask, g, heads, interpret, interleaved:
+            _bwd_pallas3_db(qkv, mask, g, heads, interpret),
+            _bwd3db_infer, _bwd3db_partition,
+            "B l d, m n, B l e -> t B l f, p q r", 3,
+        )
+    return _bwd3db_cp
+
+
+def _bwd_pallas3_db(qkv, mask, g, heads, interpret):
+    """(d3, db_raw) backward: d3 plus the in-kernel bias-grad reduce."""
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, BWD_BLOCK_CAP
+    )
+    scale = hd ** -0.5
+    blk = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    pack = _pack_ok(block_b, L)
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel3_db, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0])
+        + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((3, block_b, L, lanes), lambda i, j: (0, i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 3, lanes), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
+            jax.ShapeDtypeStruct((n_groups, 3, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
 
 
 def _bwd3dx_infer(heads, interpret, interleaved, mesh, arg_shapes,
@@ -1142,13 +1260,17 @@ def _qkv_attn_fwd(x, w, b, mask, heads, interpret):
 def _qkv_attn_bwd(heads, interpret, res, g):
     x, w, qkv, m, had_mask = res
     din = w.shape[0]
-    if DX_IN_KERNEL:
+    db_raw = None
+    if BWD_FUSE == "dxdb":
         d3, dx, db_raw = _get_bwd3dx_cp()(
             qkv, m, g, w.astype(qkv.dtype), heads, interpret, False
         )
         dx = dx.astype(x.dtype)
     else:
-        d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)  # (3,B,L,D)
+        if BWD_FUSE == "db":
+            d3, db_raw = _get_bwd3db_cp()(qkv, m, g, heads, interpret, False)
+        else:
+            d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)
         w3 = w.astype(d3.dtype).reshape(din, 3, -1)
         dx = jax.lax.dot_general(
             d3, w3, (((0, 3), (1, 2)), ((), ())),
@@ -1158,7 +1280,7 @@ def _qkv_attn_bwd(heads, interpret, res, g):
         x, d3, (((0, 1), (1, 2)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(din, -1).astype(w.dtype)
-    if DX_IN_KERNEL:
+    if db_raw is not None:
         # (n_groups, 3, lanes) -> [dbq | dbk | dbv]
         db = db_raw.transpose(1, 0, 2).reshape(-1).astype(w.dtype)
     else:
@@ -1170,6 +1292,332 @@ def _qkv_attn_bwd(heads, interpret, res, g):
 
 
 qkv_attention.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Transposed-input attention (attn_impl='pallas_t'): the optimized HLO shows
+# XLA's qkv GEMM naturally emits its (B,L,3D) output in {2,0,1} layout
+# (L-major) on TPU, while a Pallas custom call pins operands to the default
+# {2,1,0} — costing a 59 MB relayout + bias-add pass per layer per tower
+# (the profiled copy/copy_add families, ~4.8 ms/step). This variant consumes
+# the LOGICALLY TRANSPOSED (L, B, 3D) no-bias GEMM output — for which the
+# {2,1,0} requirement is exactly the GEMM's preferred physical bytes, so the
+# jnp.transpose at the call site folds to a bitcast — adds the qkv bias
+# inside the kernel (its XLA add pass disappears with the relayout), and
+# accumulates the bias grad in-kernel. Backward outputs stay standard
+# (B,L,D); the returned cotangent is re-transposed logically, which cancels
+# against autodiff's own transpose of the call-site transpose.
+# ---------------------------------------------------------------------------
+
+
+def _specs_t(block_b, L, lanes, n_groups, mask_len):
+    blk = (L, block_b, lanes)
+
+    def q_map(i, j):
+        return (0, i, j)
+
+    def k_map(i, j, off=n_groups):
+        return (0, i, off + j)
+
+    def v_map(i, j, off=2 * n_groups):
+        return (0, i, off + j)
+
+    bias_blk = (1, lanes)
+    return [
+        pl.BlockSpec(blk, q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, k_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, v_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bias_blk, lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bias_blk, lambda i, j, off=n_groups: (0, off + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bias_blk, lambda i, j, off=2 * n_groups: (0, off + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mask_len, mask_len), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_kernel_t(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, mask_ref,
+                  o_ref, *, scale, hd, hpb):
+    # Mosaic batched matmuls need the batch dim at position 0, so the
+    # seq-major (L, bB, hd) slices are transposed in VMEM (a vector
+    # shuffle, ~free next to the HBM relayout this variant removes) and
+    # the standard per-sub-head math runs unchanged.
+    mask = mask_ref[:]
+    outs = [None] * hpb
+    for s_i in range(hpb):
+        sl = slice(s_i * hd, (s_i + 1) * hd)
+        q = jnp.swapaxes(q_ref[:, :, sl] + bq_ref[:, sl][None], 0, 1)
+        k = jnp.swapaxes(k_ref[:, :, sl] + bk_ref[:, sl][None], 0, 1)
+        v = jnp.swapaxes(v_ref[:, :, sl] + bv_ref[:, sl][None], 0, 1)
+        outs[s_i] = _one_head_fwd(q, k, v, mask, scale).astype(o_ref.dtype)
+    o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel_t(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref, mask_ref,
+                  do_ref, dq_ref, dk_ref, dv_ref, db_ref,
+                  *, scale, hd, hpb):
+    """Seq-major-input backward; cotangents come out standard (bB, L, hd)
+    per part, plus the in-kernel bias-grad block (n_groups, 3, lanes)."""
+    mask = mask_ref[:]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dqs = [None] * hpb
+    dks = [None] * hpb
+    dvs = [None] * hpb
+    for s_i in range(hpb):
+        sl = slice(s_i * hd, (s_i + 1) * hd)
+        q = jnp.swapaxes(q_ref[:, :, sl] + bq_ref[:, sl][None], 0, 1)
+        k = jnp.swapaxes(k_ref[:, :, sl] + bk_ref[:, sl][None], 0, 1)
+        v = jnp.swapaxes(v_ref[:, :, sl] + bv_ref[:, sl][None], 0, 1)
+        do = do_ref[:, :, sl]                        # (bB, L, hd) standard
+        sc = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        sc = sc * scale + mask[None]
+        p = _p_from_scores(sc)                       # (bB, Lq, Lk)
+        pb = p.astype(do.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - (dp * p).sum(axis=-1, keepdims=True)) * scale).astype(
+            do.dtype
+        )
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqs[s_i] = dq.astype(dq_ref.dtype)
+        dks[s_i] = dk.astype(dk_ref.dtype)
+        dvs[s_i] = dv.astype(dv_ref.dtype)
+    dq_ref[:] = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _db_init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    bsum = jnp.concatenate(
+        [jnp.sum(t.astype(jnp.float32), axis=(0, 1))[None, :]
+         for t in (dq_ref[:], dk_ref[:], dv_ref[:])], axis=0,
+    )
+    db_ref[j] = db_ref[j] + bsum
+
+
+def _geometry_t(qkv_t, heads, block_cap):
+    L, B, three_d = qkv_t.shape
+    D = three_d // 3
+    hd = D // heads
+    assert heads * hd == D and 3 * D == three_d
+    hpb = heads_per_block(heads, hd)
+    assert hpb is not None
+    lanes = hpb * hd
+    n_groups = heads // hpb
+    block_b = _pick_block_b(B, block_cap)
+    return B, L, D, hd, hpb, lanes, n_groups, block_b, (B // block_b, n_groups)
+
+
+def _fwd_pallas_t(qkv_t, bias, mask, heads, interpret):
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry_t(
+        qkv_t, heads, FWD_BLOCK_CAP
+    )
+    scale = hd ** -0.5
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    cost = pl.CostEstimate(
+        flops=4 * B * heads * L * L * hd,
+        bytes_accessed=(qkv_t.size + B * L * D) * qkv_t.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_t, scale=scale, hd=hd, hpb=hpb),
+        grid=grid,
+        in_specs=_specs_t(block_b, L, lanes, n_groups, L),
+        out_specs=pl.BlockSpec((block_b, L, lanes), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), qkv_t.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(qkv_t, qkv_t, qkv_t, bias, bias, bias, kmask)
+
+
+def _bwd_pallas_t(qkv_t, bias, mask, g, heads, interpret):
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry_t(
+        qkv_t, heads, BWD_BLOCK_CAP
+    )
+    scale = hd ** -0.5
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    blk_std = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=2 * (qkv_t.size + B * L * D) * qkv_t.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    dq, dk, dv, db_raw = pl.pallas_call(
+        functools.partial(_bwd_kernel_t, scale=scale, hd=hd, hpb=hpb),
+        grid=grid,
+        in_specs=_specs_t(block_b, L, lanes, n_groups, L)
+        + [pl.BlockSpec(blk_std, lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(blk_std, lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ] + [pl.BlockSpec((n_groups, 3, lanes), lambda i, j: (0, 0, 0),
+                          memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv_t.dtype)
+                   for _ in range(3)]
+        + [jax.ShapeDtypeStruct((n_groups, 3, lanes), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(qkv_t, qkv_t, qkv_t, bias, bias, bias, kmask, g.astype(qkv_t.dtype))
+    return dq, dk, dv, db_raw
+
+
+_fwd_t_cp = None
+_bwd_t_cp = None
+
+
+def _batch_spec_t(arg_shapes):
+    from jax.sharding import PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    b = spec[1] if len(spec) > 1 else None
+    return b, P
+
+
+def _fwd_t_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                 result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec_t(arg_shapes)
+    return NamedSharding(mesh, P(b, None, None))
+
+
+def _fwd_t_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                     result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec_t(arg_shapes)
+    arg_shardings = (
+        NamedSharding(mesh, P(None, b, None)),
+        NamedSharding(mesh, P(None, None)),
+        NamedSharding(mesh, P(None, None)),
+    )
+    result_sharding = NamedSharding(mesh, P(b, None, None))
+
+    def lower_fn(qkv_t, bias, mask):
+        return _fwd_pallas_t(qkv_t, bias, mask, heads, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _bwd_t_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                 result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec_t(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    return (s, s, s, NamedSharding(mesh, P(None, None, None)))
+
+
+def _bwd_t_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                     result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec_t(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    rep = NamedSharding(mesh, P(None, None))
+    arg_shardings = (NamedSharding(mesh, P(None, b, None)), rep, rep, s)
+    result_sharding = (s, s, s, NamedSharding(mesh, P(None, None, None)))
+
+    def lower_fn(qkv_t, bias, mask, g):
+        dq, dk, dv, db = _bwd_pallas_t(qkv_t, bias, mask, g, heads, interpret)
+        if b is not None:
+            db = jax.lax.psum(db, b)
+        return dq, dk, dv, db
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _get_fwd_t_cp():
+    global _fwd_t_cp
+    if _fwd_t_cp is None:
+        _fwd_t_cp = _make_cp(
+            lambda qkv_t, bias, mask, heads, interpret, interleaved:
+            _fwd_pallas_t(qkv_t, bias, mask, heads, interpret),
+            _fwd_t_infer, _fwd_t_partition,
+            "l B d, c1 c2, m n -> B l2 e", 3,
+        )
+    return _fwd_t_cp
+
+
+def _get_bwd_t_cp():
+    global _bwd_t_cp
+    if _bwd_t_cp is None:
+        _bwd_t_cp = _make_cp(
+            lambda qkv_t, bias, mask, g, heads, interpret, interleaved:
+            _bwd_pallas_t(qkv_t, bias, mask, g, heads, interpret),
+            _bwd_t_infer, _bwd_t_partition,
+            "l B d, c1 c2, m n, B l2 e -> B l3 f, B l4 h, B l5 k, p q r", 4,
+        )
+    return _bwd_t_cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_t(qkv_nb, bias, mask, heads: int, interpret: bool = False):
+    """Multi-head attention over a no-bias fused qkv tensor with a
+    seq-major kernel boundary.
+
+    qkv_nb: (B, L, 3*D) — the qkv GEMM output WITHOUT bias. The logical
+    transpose to the kernel's (L, B, 3D) input happens INSIDE this
+    custom_vjp (autodiff never sees it), so it folds to a bitcast of the
+    GEMM's natural {2,0,1} output layout — no relayout copy, and the bias
+    add rides inside the kernel. bias: (1, 3*D). Returns (B, L, D); the
+    cotangent comes back as a standard layout-flexible concatenate."""
+    if mask is None:
+        mask = jnp.zeros((qkv_nb.shape[1], qkv_nb.shape[1]), jnp.float32)
+    qkv_t = jnp.transpose(qkv_nb, (1, 0, 2))
+    return _get_fwd_t_cp()(qkv_t, bias, mask, heads, interpret, False)
+
+
+def _attn_t_fwd(qkv_nb, bias, mask, heads, interpret):
+    had_mask = mask is not None
+    m = (mask if had_mask
+         else jnp.zeros((qkv_nb.shape[1], qkv_nb.shape[1]), jnp.float32))
+    qkv_t = jnp.transpose(qkv_nb, (1, 0, 2))
+    out = _get_fwd_t_cp()(qkv_t, bias, m, heads, interpret, False)
+    return out, (qkv_t, bias, m, had_mask)
+
+
+def _attn_t_bwd(heads, interpret, res, g):
+    qkv_t, bias, m, had_mask = res
+    dq, dk, dv, db_raw = _get_bwd_t_cp()(qkv_t, bias, m, g, heads, interpret, False)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)  # (B,L,3D), layout-flexible
+    db = db_raw.transpose(1, 0, 2).reshape(1, -1).astype(bias.dtype)
+    dmask = jnp.zeros_like(m) if had_mask else None
+    return dqkv, db, dmask
+
+
+fused_attention_t.defvjp(_attn_t_fwd, _attn_t_bwd)
 
 
 def reference_attention(qkv, mask, heads):

@@ -372,14 +372,14 @@ def test_qkv_attention_sharded_batch(rng):
                                rtol=1e-3)
 
 
-@pytest.fixture
-def dx_in_kernel():
+@pytest.fixture(params=["db", "dxdb"])
+def dx_in_kernel(request):
     from spatial_clip_tpu.ops import fused_attention as fa
 
-    prev = fa.DX_IN_KERNEL
-    fa.DX_IN_KERNEL = True
+    prev = fa.BWD_FUSE
+    fa.BWD_FUSE = request.param
     yield
-    fa.DX_IN_KERNEL = prev
+    fa.BWD_FUSE = prev
 
 
 @pytest.mark.parametrize("pack", [False, True])
@@ -412,3 +412,92 @@ def test_qkv_attention_dx_in_kernel(rng, dx_in_kernel, pack):
                                        atol=2e-2, rtol=1e-3)
     finally:
         fa.PACK_PAIRS = prev
+
+
+def test_fused_attention_t_parity(rng):
+    """Seq-major-input variant (pallas_t): fwd + grads wrt qkv/bias must
+    match the standard formulation."""
+    from spatial_clip_tpu.ops.fused_attention import fused_attention_t
+
+    B, L, D, H = 4, 11, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    bias = jnp.asarray(rng.normal(size=(1, 3 * D)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss_t(args):
+        q, b = args
+        out = fused_attention_t(q, b, mask, H, True)
+        return ((out - tgt) ** 2).sum()
+
+    def loss_ref(args):
+        q, b = args
+        return ((reference_attention(q + b[0], mask, H) - tgt) ** 2).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(fused_attention_t(qkv, bias, mask, H, True)),
+        np.asarray(reference_attention(qkv + bias[0], mask, H)), atol=1e-5)
+    g = jax.grad(loss_t)((qkv, bias))
+    g_ref = jax.grad(loss_ref)((qkv, bias))
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-3,
+                                   rtol=1e-4)
+
+
+def test_fused_attention_t_no_mask(rng):
+    from spatial_clip_tpu.ops.fused_attention import fused_attention_t
+
+    B, L, D, H = 2, 9, 256, 8
+    qkv = _rand_qkv(rng, B, L, D)
+    bias = jnp.zeros((1, 3 * D), jnp.float32)
+    out = fused_attention_t(qkv, bias, None, H, True)
+    ref = reference_attention(qkv, None, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_model_level_parity_pallas_t(rng):
+    from spatial_clip_tpu import create_model
+
+    imgs = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8).astype(np.float32)
+    texts = rng.integers(0, 512, (2, 16)).astype(np.int32)
+    wide = dict(
+        vision_cfg=dict(width=128, heads=2),
+        text_cfg=dict(width=128, heads=2),
+    )
+    b1 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="einsum", **wide)
+    b2 = create_model("ViT-Test", precision="fp32", seed=0, attn_impl="pallas_t", **wide)
+    assert jax.tree_util.tree_structure(b1.params) == jax.tree_util.tree_structure(
+        b2.params
+    )
+    i1 = np.asarray(b1.encode_image(imgs, normalize=False))
+    i2 = np.asarray(b2.encode_image(imgs, params=b1.params, normalize=False))
+    t1 = np.asarray(b1.encode_text(texts, normalize=False))
+    t2 = np.asarray(b2.encode_text(texts, params=b1.params, normalize=False))
+    np.testing.assert_allclose(i2, i1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_attention_t_sharded_batch(rng):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from spatial_clip_tpu.ops.fused_attention import fused_attention_t
+
+    B, L, D, H = 16, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    bias = jnp.asarray(rng.normal(size=(1, 3 * D)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    qkv_s = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+
+    @jax.jit
+    def loss(q, b):
+        out = fused_attention_t(q, b, mask, H, True)
+        return (out ** 2).sum()
+
+    gq, gb = jax.jit(jax.grad(loss, argnums=(0, 1)))(qkv_s, bias)
+    ref_l = lambda q, b: (reference_attention(q + b[0], mask, H) ** 2).sum()
+    gq_r, gb_r = jax.grad(ref_l, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_r), atol=2e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r), atol=2e-3,
+                               rtol=1e-4)
