@@ -42,13 +42,26 @@ class LayerNorm(nn.Module):
 
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
-    stats_dtype: str = "fp32"  # fp32 | onepass | compute
+    # fp32 | onepass | compute | pallas (single-pass Pallas kernel with
+    # one-pass fp32 stats + in-kernel dgamma/dbeta accumulation — targets
+    # XLA's far-from-floor LN backward; falls back to onepass math off-TPU
+    # shapes, ops/fused_ln.py)
+    stats_dtype: str = "fp32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if self.stats_dtype == "pallas" and dim % 128 == 0:
+            from spatial_clip_tpu.ops.fused_ln import fused_layer_norm
+
+            shape = x.shape
+            y = fused_layer_norm(
+                x.reshape(-1, dim).astype(self.dtype), scale[None],
+                bias[None], self.eps, jax.default_backend() != "tpu",
+            )
+            return y.reshape(shape)
         acc = self.dtype if self.stats_dtype == "compute" else jnp.float32
         xa = x.astype(acc)
         mean = xa.mean(axis=-1, keepdims=True)
@@ -98,6 +111,15 @@ class _LNParams(nn.Module):
 def _ln_apply(x, scale, bias, eps, dtype, stats_dtype="fp32"):
     """Functional LayerNorm (same math as the LayerNorm module) for paths
     where the fused LN->GEMM kernel does not apply."""
+    if stats_dtype == "pallas" and x.shape[-1] % 128 == 0:
+        from spatial_clip_tpu.ops.fused_ln import fused_layer_norm
+
+        shape = x.shape
+        y = fused_layer_norm(
+            x.reshape(-1, shape[-1]).astype(dtype), scale[None], bias[None],
+            eps, jax.default_backend() != "tpu",
+        )
+        return y.reshape(shape)
     acc = dtype if stats_dtype == "compute" else jnp.float32
     xa = x.astype(acc)
     mean = xa.mean(axis=-1, keepdims=True)
@@ -527,7 +549,7 @@ class ResidualBlock(nn.Module):
         fuse_ln = (
             self.ln_gemm_impl == "pallas"
             and self.ln_stats in ("fp32", "onepass")
-        )
+        )  # ln_stats='pallas' routes through ops/fused_ln instead
         attn = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
             impl=self.attn_impl, qk_norm=self.qk_norm,
