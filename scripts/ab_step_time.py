@@ -59,6 +59,15 @@ def build(arm: str, batch: int, model: str):
     elif "^db" in name:
         name = name.replace("^db", "")
         fa.BWD_FUSE = "db"
+    # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
+    import spatial_clip_tpu.models.transformer as _tf
+
+    if "^nod2" in name:
+        name = name.replace("^nod2", "")
+        _tf.DENSE_2D = False
+    elif "^d2" in name:
+        name = name.replace("^d2", "")
+        _tf.DENSE_2D = True
     # '^fwdN'/'^bwdN' pin the kernel batch-block caps per arm
     import re as _re
 

@@ -23,6 +23,27 @@ from flax import linen as nn
 Dtype = Any
 
 
+
+
+# 2D-GEMM projections: XLA's 3D (B,L,N) dot lowering prefers an L-major
+# {2,0,1} output layout, which forces a full-activation relayout copy at
+# every Pallas custom-call boundary ({2,1,0} pinned) — the profiled
+# copy/copy_add families. A 2D (B*L, N) dot emits row-major {1,0}, whose
+# reshape to (B,L,N){2,1,0} is a free bitcast (verified: the layer-level
+# HLO loses the 59MB qkv relayout). Same param tree as the 3D form.
+DENSE_2D = True
+
+
+def _dense(features, dtype, name, x):
+    if DENSE_2D and x.ndim > 2:
+        shape = x.shape
+        y = nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
+                     name=name)(x.reshape(-1, shape[-1]))
+        return y.reshape(shape[:-1] + (features,))
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
+                    name=name)(x)
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """OpenAI CLIP's sigmoid-approx GELU (x * sigmoid(1.702 x))."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -217,9 +238,9 @@ class MLP(nn.Module):
                 interpret=jax.default_backend() != "tpu",
             )
             return out.reshape(shape[:-1] + (self.width,))
-        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc")(x)
+        x = _dense(self.hidden, self.dtype, "c_fc", x)
         x = self.act(x)
-        x = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj")(x)
+        x = _dense(self.width, self.dtype, "c_proj", x)
         return x
 
 
@@ -292,10 +313,7 @@ class MultiHeadAttention(nn.Module):
                 scale_p, bias_p, kernel, bias, eps, interp,
             ).reshape(B, L, 3 * self.width)
             ctx = fa.fused_attention(qkv, mask2d, self.heads, interp, interleaved)
-            return nn.Dense(
-                self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                name="out",
-            )(ctx)
+            return _dense(self.width, self.dtype, "out", ctx)
         if impl == "pallas_inter":
             # Interleaved-layout fused attention: the qkv projection weight's
             # columns are statically permuted so each head group's q|k|v
@@ -328,10 +346,7 @@ class MultiHeadAttention(nn.Module):
                     qkv_i, mask2d, self.heads,
                     jax.default_backend() != "tpu", True,
                 )
-                return nn.Dense(
-                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="out",
-                )(ctx)
+                return _dense(self.width, self.dtype, "out", ctx)
             impl = "einsum"
         if impl == "pallas_t":
             # Transposed-input fused attention: the kernel consumes the
@@ -358,10 +373,7 @@ class MultiHeadAttention(nn.Module):
                     qkv_nb, bias[None].astype(self.dtype), mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return nn.Dense(
-                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="out",
-                )(ctx)
+                return _dense(self.width, self.dtype, "out", ctx)
             impl = "einsum"
         if impl == "pallas3":
             # Projection-fused attention (ops/fused_attention.qkv_attention):
@@ -388,14 +400,9 @@ class MultiHeadAttention(nn.Module):
                     x.astype(self.dtype), kernel, bias, mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return nn.Dense(
-                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="out",
-                )(ctx)
+                return _dense(self.width, self.dtype, "out", ctx)
             impl = "einsum"
-        qkv = nn.Dense(
-            3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
-        )(x)
+        qkv = _dense(3 * self.width, self.dtype, "qkv", x)
         if impl == "pallas":
             # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM
             # output, head-splitting via BlockSpec index maps — no 4D
@@ -419,10 +426,7 @@ class MultiHeadAttention(nn.Module):
                     qkv, mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return nn.Dense(
-                    self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="out",
-                )(ctx)
+                return _dense(self.width, self.dtype, "out", ctx)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):
@@ -449,9 +453,7 @@ class MultiHeadAttention(nn.Module):
                 attn = attn + attn_mask.astype(jnp.float32)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
-            return nn.Dense(
-                self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
-            )(out)
+            return _dense(self.width, self.dtype, "out", out)
         if impl == "xla":
             bias = None
             if attn_mask is not None:
@@ -471,9 +473,7 @@ class MultiHeadAttention(nn.Module):
                 attn = attn + attn_mask.astype(acc)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
-        return nn.Dense(
-            self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out"
-        )(out)
+        return _dense(self.width, self.dtype, "out", out)
 
     def _fold_attention(
         self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray]
