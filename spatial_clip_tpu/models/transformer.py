@@ -30,8 +30,11 @@ Dtype = Any
 # every Pallas custom-call boundary ({2,1,0} pinned) — the profiled
 # copy/copy_add families. A 2D (B*L, N) dot emits row-major {1,0}, whose
 # reshape to (B,L,N){2,1,0} is a free bitcast (verified: the layer-level
-# HLO loses the 59MB qkv relayout). Same param tree as the 3D form.
-DENSE_2D = True
+# HLO loses the 59MB qkv relayout). MEASURED NEGATIVE at model level
+# (+15 ms/step, reports/ab_d2_r2.json): the 3D b0f conv lowering is itself
+# that much faster than the equivalent 2D GEMM — the relayout copies are
+# cheaper than the GEMM slowdown. Ships off as a reproducible knob.
+DENSE_2D = False
 
 
 def _dense(features, dtype, name, x):

@@ -61,7 +61,9 @@ _FAST_SHIFT = 20.0
 # count. Text towers with L=77 keep the unpacked path automatically.
 # Batch-pairing (not sub-head-pairing) keeps every Mosaic operand at lane
 # offset 0 — sub-head pairs would need a bf16 lane rotate, unimplemented.
-PACK_PAIRS = False
+# Model-level: -0.3 ms (reports/ab_pack3_r2.json) — the kernel is DMA-bound,
+# so the MXU saving mostly hides; exact math, so the small win ships on.
+PACK_PAIRS = True
 _PACK_MASK_NEG = -1e30
 
 
