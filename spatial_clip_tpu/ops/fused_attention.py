@@ -403,7 +403,10 @@ def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
 # set fits 16MB VMEM at 32 rows with double buffering; the bwd kernel holds
 # ~2.5x the intermediates so it defaults lower.
 FWD_BLOCK_CAP = 32
-BWD_BLOCK_CAP = 16
+# 32-row backward blocks measure -0.6 ms/step vs 16 (reports/
+# ab_caps_r2.json) once the scoped-VMEM budget below unlocks them (the
+# 16 MB platform default OOM'd at 32 by 1.5M).
+BWD_BLOCK_CAP = 32
 # Scoped-VMEM budget handed to Mosaic per kernel. The platform default
 # (16 MB) rejects batch blocks >32 rows by ~0.8 MB; v5e has 128 MB of VMEM,
 # so a larger scoped budget unlocks bigger blocks (fewer grid steps, less
