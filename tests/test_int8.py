@@ -6,9 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def test_int8_dot_close_to_fp32(rng):
+def test_int8_dot_close_to_fp32():
     from spatial_clip_tpu.models.quantize import int8_dot, quantize_array
 
+    # own fixed seed: the error bound is statistical, so the test must not
+    # depend on how much of the shared session rng earlier tests consumed
+    rng = np.random.default_rng(7)
     x = rng.normal(size=(64, 256)).astype(np.float32)
     w = (rng.normal(size=(256, 128)) / 16).astype(np.float32)
     q, s = quantize_array(w)
