@@ -34,6 +34,7 @@ def build(arm: str, batch: int, model: str):
     mlp = "dense"
     ln = "onepass"
     ln_gemm = "dense"
+    master = False
     from spatial_clip_tpu.ops import fused_attention as fa
 
     # arms without explicit suffixes get the module defaults (reset between
@@ -59,6 +60,10 @@ def build(arm: str, batch: int, model: str):
     elif "^db" in name:
         name = name.replace("^db", "")
         fa.BWD_FUSE = "db"
+    # '^mw' enables master-weights training (bf16 live kernels) per arm
+    if "^mw" in name:
+        name = name.replace("^mw", "")
+        master = True
     # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     import spatial_clip_tpu.models.transformer as _tf
 
@@ -99,7 +104,8 @@ def build(arm: str, batch: int, model: str):
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
         config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,
-                             color_jitter=0.2, log_every=10**9),
+                             color_jitter=0.2, log_every=10**9,
+                             master_weights=master),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()

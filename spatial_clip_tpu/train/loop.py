@@ -41,7 +41,7 @@ from spatial_clip_tpu.train.metrics import (
     clip_retrieval_metrics,
     recall_at_k,
 )
-from spatial_clip_tpu.train.optim import make_optimizer
+from spatial_clip_tpu.train.optim import global_norm_f32, make_optimizer
 
 log = logging.getLogger(__name__)
 
@@ -53,6 +53,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # master-weights mode: forward/backward run on this compute-dtype copy
+    # of the >=2-D kernels (1-D leaves stay fp32 — bitwise-identical forward
+    # to the per-use flax cast), while `params` stays the fp32 master the
+    # optimizer updates and checkpoints store. None when disabled.
+    live: Any = None
 
 
 @dataclass
@@ -64,6 +69,11 @@ class TrainerConfig:
     grad_clip_norm: Optional[float] = 1.0
     opt: str = "adamw"  # adamw | sgd | lion (ref: params.py --opt)
     momentum: Optional[float] = None  # sgd momentum (ref: --momentum)
+    # Master-weights training (torch-AMP recipe): store the GEMM kernels in
+    # the compute dtype for forward/backward (kills the per-step fp32->bf16
+    # weight-convert pass) and keep an fp32 master for the update; kernel
+    # grads arrive in bf16 (clip/metric norms accumulate in f32).
+    master_weights: bool = False
     # 'bf16' halves the Adam first-moment HBM traffic (~0.7 ms/step at
     # ViT-B scale). Default since the synthetic quality gate
     # (reports/ab_mu.json, 2 seeds x 400 steps): loss curves and val R@1
@@ -171,12 +181,20 @@ class Trainer:
         self._eval_step = None
 
     # ------------------------------------------------------------------ state
+    def _to_live(self, params):
+        dt = self.bundle.model.dtype
+        return jax.tree.map(
+            lambda p: p.astype(dt) if p.ndim >= 2 else p, params
+        )
+
     def init_state(self) -> TrainState:
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.bundle.params,
             opt_state=self.tx.init(self.bundle.params),
             rng=jax.random.PRNGKey(self.cfg.seed),
+            live=(self._to_live(self.bundle.params)
+                  if self.cfg.master_weights else None),
         )
         return jax.device_put(state, self._repl)
 
@@ -305,6 +323,7 @@ class Trainer:
             # split (not pass through) so the donated rng buffer is never
             # returned unchanged from the jitted step
             rng, next_rng = jax.random.split(state.rng)
+            fwd_params = state.live if cfg.master_weights else state.params
 
             def compute(params, mb, r):
                 return self._loss_and_metrics(params, mb, r, deterministic=False)
@@ -312,10 +331,10 @@ class Trainer:
             if accum == 1:
                 (loss, (_, logits)), grads = jax.value_and_grad(
                     compute, has_aux=True
-                )(state.params, batch, rng)
+                )(fwd_params, batch, rng)
             elif cfg.grad_accum_mode == "cached":
                 loss, logits, grads = self._cached_accum_grads(
-                    state.params, batch, rng, accum
+                    fwd_params, batch, rng, accum
                 )
             else:
                 # microbatch scan: grads averaged; contrastive batch = microbatch
@@ -329,14 +348,14 @@ class Trainer:
                     mb, i = xs
                     r = jax.random.fold_in(rng, i)
                     (l, (_f, _lg)), g = jax.value_and_grad(compute, has_aux=True)(
-                        state.params, mb, r
+                        fwd_params, mb, r
                     )
                     return (
                         jax.tree.map(jnp.add, g_acc, g),
                         l_acc + l,
                     ), _lg
 
-                zero = jax.tree.map(jnp.zeros_like, state.params)
+                zero = jax.tree.map(jnp.zeros_like, fwd_params)
                 (g_sum, l_sum), logits_all = jax.lax.scan(
                     body, (zero, 0.0), (mbs, jnp.arange(accum))
                 )
@@ -345,6 +364,12 @@ class Trainer:
                 logits = logits_all[-1]
 
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            if cfg.master_weights:
+                # updates carry the (bf16) grad dtype on kernel leaves; the
+                # master must accumulate in fp32
+                updates = jax.tree.map(
+                    lambda u, p: u.astype(p.dtype), updates, state.params
+                )
             params = optax.apply_updates(state.params, updates)
             # clamp logit scale to [0, ln 100] (ref: train.py:219-220)
             params = dict(params)
@@ -352,13 +377,15 @@ class Trainer:
                 params["logit_scale"], 0.0, cfg.max_logit_scale
             )
             new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=new_opt, rng=next_rng
+                step=state.step + 1, params=params, opt_state=new_opt,
+                rng=next_rng,
+                live=self._to_live(params) if cfg.master_weights else None,
             )
             targets = jnp.arange(logits.shape[0], dtype=jnp.int32)
             step_metrics = {
                 "loss": loss,
                 "logit_scale": jnp.exp(params["logit_scale"]),
-                "grad_norm": optax.global_norm(grads),
+                "grad_norm": global_norm_f32(grads),
                 "lr": self.schedule(state.step),
             }
             for k in (1, 5, 10):
@@ -410,10 +437,14 @@ class Trainer:
         state = state if state is not None else self.init_state()
         if resume and self.ckpt:
             try:
-                host = jax.tree.map(np.asarray, state)
+                host = jax.tree.map(np.asarray, state.replace(live=None))
                 restored, step = self.ckpt.restore(
                     host, None if resume == "latest" else int(resume)
                 )
+                if self.cfg.master_weights:
+                    restored = restored.replace(
+                        live=self._to_live(restored.params)
+                    )
                 state = jax.device_put(restored, self._repl)
                 log.info("Resumed from step %d", step)
             except FileNotFoundError:
@@ -467,7 +498,7 @@ class Trainer:
                     and self.cfg.save_every_steps
                     and step_no % self.cfg.save_every_steps == 0
                 ):
-                    self.ckpt.save(jax.tree.map(np.asarray, state), step_no)
+                    self.ckpt.save(jax.tree.map(np.asarray, state.replace(live=None)), step_no)
                 t0 = time.perf_counter()
             if val_iter_factory is not None:
                 val_metrics = self.evaluate(state, val_iter_factory())
@@ -482,7 +513,8 @@ class Trainer:
                         self.best_step = int(state.step)
                         if self.ckpt:
                             self.ckpt.save(
-                                jax.tree.map(np.asarray, state), int(state.step), last
+                                jax.tree.map(np.asarray, state.replace(live=None)),
+                                int(state.step), last,
                             )
                     else:
                         stale_evals += 1
@@ -497,7 +529,7 @@ class Trainer:
                             )
                             break
             if self.ckpt:
-                self.ckpt.save(jax.tree.map(np.asarray, state), int(state.step), last)
+                self.ckpt.save(jax.tree.map(np.asarray, state.replace(live=None)), int(state.step), last)
         if self.ckpt:
             self.ckpt.wait()  # flush the in-flight async save before returning
         return state, last

@@ -118,6 +118,38 @@ def freeze_mask(params, frozen_prefixes: Tuple[str, ...]) -> Any:
     return rebuild(params, ())
 
 
+
+
+def global_norm_f32(tree) -> jnp.ndarray:
+    """Global grad norm with fp32 accumulation regardless of leaf dtype —
+    summing squares in bf16 (master-weights mode stores kernel grads in
+    bf16) would lose the norm entirely."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves
+    ))
+
+
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with fp32 norm accumulation (identical for
+    fp32 grads; required for bf16 grads)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g = global_norm_f32(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g, 1e-16))
+        updates = jax.tree.map(
+            lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     params,
     learning_rate: float = 5e-4,
@@ -146,7 +178,7 @@ def make_optimizer(
     )
     chain = []
     if grad_clip_norm:
-        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+        chain.append(clip_by_global_norm_f32(grad_clip_norm))
     opt = (opt or "adamw").lower()
     if opt in ("adamw", "adam"):
         chain.append(

@@ -179,3 +179,57 @@ def test_training_determinism(tiny_bundle):
         return out
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_master_weights_step_parity(rng):
+    """master_weights=True (bf16 live kernels + fp32 master) must track the
+    default trainer: identical param tree, near-identical loss/params after
+    a few steps (the forward is bitwise-identical by construction; only the
+    grad dtype differs)."""
+    import jax
+    import numpy as np
+
+    from spatial_clip_tpu import create_model
+    from spatial_clip_tpu.losses import make_loss
+    from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+    def build(master):
+        bundle = create_model("ViT-Test", precision="bf16", seed=0)
+        tr = Trainer(
+            bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
+            config=TrainerConfig(warmup_steps=1, total_steps=8, augment=False,
+                                 log_every=10**9, seed=0,
+                                 master_weights=master),
+        )
+        return tr, tr.make_train_step(), tr.init_state()
+
+    r = np.random.default_rng(0)
+    B = 8
+    tid = np.arange(B, dtype=np.int32)
+    batch = {
+        "images": r.integers(0, 255, (B, 32, 32, 3), dtype=np.uint8),
+        "texts": r.integers(0, 512, (B, 16)).astype(np.int32),
+        "image_tile_ids": tid, "text_tile_ids": tid,
+        "neighbor_tile_ids": r.integers(-1, B, (B, 4)).astype(np.int32),
+        "neighbor_alphas": r.uniform(0, 1, (B, 4)).astype(np.float32),
+    }
+    tr0, step0, st0 = build(False)
+    tr1, step1, st1 = build(True)
+    db0 = tr0._device_batch(batch)
+    db1 = tr1._device_batch(batch)
+    losses0, losses1 = [], []
+    for _ in range(4):
+        st0, m0 = step0(st0, db0)
+        st1, m1 = step1(st1, db1)
+        losses0.append(float(np.asarray(m0["loss"])))
+        losses1.append(float(np.asarray(m1["loss"])))
+    # same starting loss (identical forward) and closely-tracking trajectory
+    assert abs(losses0[0] - losses1[0]) < 1e-3, (losses0, losses1)
+    assert abs(losses0[-1] - losses1[-1]) < 0.05, (losses0, losses1)
+    # master params stay fp32; live kernels are compute-dtype
+    leaves = jax.tree_util.tree_leaves(st1.params)
+    assert all(l.dtype == np.float32 for l in leaves)
+    import jax.numpy as jnp
+
+    live_leaves = [l for l in jax.tree_util.tree_leaves(st1.live) if l.ndim >= 2]
+    assert all(l.dtype == jnp.bfloat16 for l in live_leaves)
