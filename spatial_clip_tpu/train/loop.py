@@ -177,6 +177,18 @@ class Trainer:
         )
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P("data"))
+        # tensor parallelism: with a >1-sized 'model' mesh axis the params
+        # (and, via propagation, the optimizer moments) are sharded per
+        # parallel/sharding.infer_param_shardings; the train/eval jits then
+        # rely on computation-follows-sharding instead of replicated
+        # in_shardings. Beyond the reference (DDP-only, SURVEY §2.7).
+        self._tp = self.mesh.shape.get("model", 1) > 1
+        if self._tp:
+            from spatial_clip_tpu.parallel.sharding import (
+                infer_param_shardings,
+            )
+
+            self._param_sh = infer_param_shardings(bundle.params, self.mesh)
         self._train_step = None
         self._eval_step = None
 
@@ -188,6 +200,20 @@ class Trainer:
         )
 
     def init_state(self) -> TrainState:
+        if self._tp:
+            params = jax.device_put(self.bundle.params, self._param_sh)
+            # jit so the moments inherit the param shardings by propagation
+            opt_state = jax.jit(self.tx.init)(params)
+            return TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), self._repl),
+                params=params,
+                opt_state=opt_state,
+                rng=jax.device_put(
+                    jax.random.PRNGKey(self.cfg.seed), self._repl
+                ),
+                live=(jax.jit(self._to_live)(params)
+                      if self.cfg.master_weights else None),
+            )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.bundle.params,
@@ -392,6 +418,11 @@ class Trainer:
                 step_metrics[f"R@{k}"] = recall_at_k(logits, targets, k)
             return new_state, step_metrics
 
+        if self._tp:
+            # params/moments arrive TP-sharded; let GSPMD propagate instead
+            # of forcing replication
+            return jax.jit(step_fn, in_shardings=(None, self._batch_sh),
+                           donate_argnums=(0,))
         return jax.jit(
             step_fn,
             in_shardings=(self._repl, self._batch_sh),
@@ -411,6 +442,8 @@ class Trainer:
                 "text_features": features["text_features"],
             }
 
+        if self._tp:
+            return jax.jit(eval_fn, in_shardings=(None, self._batch_sh))
         return jax.jit(
             eval_fn, in_shardings=(self._repl, self._batch_sh)
         )
