@@ -31,10 +31,11 @@ def main():
 
     # Default = the reference-parity ViT-B/32 + text-transformer config (the
     # configuration whose retrieval parity is demonstrated end-to-end; see
-    # docs/experiments.md). BENCH_MODEL=ViT-B-32-GeneMLP benchmarks the
-    # TPU-native gene-MLP flagship (north-star config 1) which measures
-    # 3585 pairs/sec/chip (1.29x target) but whose retrieval parity is still
-    # being established at small data scale.
+    # docs/experiments.md): 2726 pairs/sec/chip = 0.98x target.
+    # BENCH_MODEL=ViT-B-32-GeneMLP benchmarks the TPU-native gene-MLP
+    # flagship (north-star config 1): 4654 pairs/sec/chip = 1.67x target,
+    # with synthetic retrieval scaling unsaturated through 131k spots
+    # (R@1 0.063->0.570; docs/experiments.md).
     model_name = os.environ.get("BENCH_MODEL", "ViT-B-32")
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     # >=60 back-pressured steps: the remote-tunnel runtime under-reports
@@ -109,9 +110,9 @@ def main():
                 "detail": {
                     "model": model_name,
                     "tower_note": (
-                        "gene-MLP tower (north-star config 1): 1.55x"
-                        " target; synthetic retrieval scales with data but"
-                        " parity unproven (docs/experiments.md)"
+                        "gene-MLP tower (north-star config 1): 1.67x"
+                        " target; synthetic retrieval scaling unsaturated"
+                        " through 131k spots (docs/experiments.md)"
                         if "GeneMLP" in model_name
                         else "text transformer (reference parity); the"
                         " gene-MLP flagship measures 4332 pairs/sec/chip"
