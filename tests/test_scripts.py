@@ -126,3 +126,24 @@ def test_validator_and_manifest_on_real_pipeline(tmp_path):
     summary = inspect_manifest(tmp_path / "out")
     assert summary["ok"], summary
     assert summary["total_processed"] == 10
+
+
+def test_bench_inference_smoke(tmp_path, monkeypatch):
+    """Serving-path benchmark drives both encoder configs end-to-end on the
+    tiny arch (CPU; sub-second batches)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import bench_inference
+
+    out = tmp_path / "infer.json"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_inference.py", "--model", "ViT-Test", "--batch", "4",
+         "--steps", "2", "--out", str(out)],
+    )
+    bench_inference.main()
+    r = json.loads(out.read_text())
+    assert r["dense"]["image_tiles_per_sec"] > 0
+    assert r["int8"]["image_tiles_per_sec"] > 0
