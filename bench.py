@@ -115,8 +115,8 @@ def main():
                         " through 131k spots (docs/experiments.md)"
                         if "GeneMLP" in model_name
                         else "text transformer (reference parity); the"
-                        " gene-MLP flagship measures 4332 pairs/sec/chip"
-                        " (1.55x target) — see docs/experiments.md"
+                        " gene-MLP flagship measures 4654 pairs/sec/chip"
+                        " (1.67x target) — see docs/experiments.md"
                     ),
                     "global_batch": B,
                     "n_chips": n_dev,
