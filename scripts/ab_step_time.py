@@ -64,6 +64,11 @@ def build(arm: str, batch: int, model: str):
     if "^mw" in name:
         name = name.replace("^mw", "")
         master = True
+    # '^noaug' disables in-step augmentation (sizes that op family)
+    augment = True
+    if "^noaug" in name:
+        name = name.replace("^noaug", "")
+        augment = False
     # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     import spatial_clip_tpu.models.transformer as _tf
 
@@ -99,13 +104,35 @@ def build(arm: str, batch: int, model: str):
     if "@" in name:
         name, bs = name.split("@")
         batch = int(bs)
+    # '!preset' pins per-jit XLA compiler options (one compiled executable
+    # per arm in the same process — the only way to interleave flag A/Bs
+    # through pool noise)
+    copts = None
+    _COPTS = {
+        "vmem32": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+        "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+        "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+        "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+        "lhsvmem64": {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                      "xla_tpu_scoped_vmem_limit_kib": "65536"},
+        "fcm": {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+        "flash": {"xla_tpu_enable_flash_attention": "true"},
+    }
+    if "!" in name:
+        name, preset = name.split("!")
+        if "=" in preset:  # raw key=val[;key=val] form
+            copts = dict(kv.split("=", 1) for kv in preset.split(";"))
+        else:
+            copts = _COPTS[preset]
     bundle = create_model(model, precision="bf16", seed=0, attn_impl=name,
                           mlp_impl=mlp, ln_impl=ln, ln_gemm_impl=ln_gemm)
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
-        config=TrainerConfig(warmup_steps=10, total_steps=10**5, augment=True,
-                             color_jitter=0.2, log_every=10**9,
-                             master_weights=master),
+        config=TrainerConfig(warmup_steps=10, total_steps=10**5,
+                             augment=augment,
+                             color_jitter=0.2 if augment else None,
+                             log_every=10**9,
+                             master_weights=master, compiler_options=copts),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()

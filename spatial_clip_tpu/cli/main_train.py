@@ -494,14 +494,27 @@ def main(args=None):
         loader, classes = get_imagenet_loader(
             zs_dir, pp_val, batch_size=args.batch_size
         )
-        # dirs named by ImageNet class are used as-is; numeric dirs (the
-        # ImageNetV2 layout) or the standard 1000-class layout use the
-        # vendored metadata order (ref: data.py:125 ImageNetV2Dataset)
+        # dirs named by ImageNet class are used as-is; the standard
+        # 1000-class layout (named or numeric — ImageNetV2 ships "0".."999",
+        # sorted numerically by the loader) uses the vendored metadata
+        # order (ref: data.py:125 ImageNetV2Dataset). A numeric SUBSET of
+        # dirs (e.g. 3, 7, ...) must map each dir to its metadata
+        # classname explicitly — ImageFolderDataset labels by sorted
+        # position, which would misalign with a 1000-way classifier.
         numeric = all(c.isdigit() for c in classes)
+        if len(classes) == 1000:
+            zs_names = None
+        elif numeric:
+            from spatial_clip_tpu.train.zero_shot import load_imagenet_metadata
+
+            meta_names, _ = load_imagenet_metadata(args.zeroshot_templates)
+            zs_names = [meta_names[int(c)] for c in classes]
+        else:
+            zs_names = classes
         zs = imagenet_zero_shot_eval(
             bundle, state.params, tokenizer, loader,
             template_set=args.zeroshot_templates,
-            classnames=None if (len(classes) == 1000 or numeric) else classes,
+            classnames=zs_names,
         )
         zs = {f"{zs_tag}-{k}" if zs_tag != "imagenet" else k: v
               for k, v in zs.items()}

@@ -21,6 +21,8 @@ from spatial_clip_tpu.models.tokenizer import (  # noqa: F401
     GeneTokenizer,
     HashTokenizer,
     HFTokenizer,
+    ReductionTokenizer,
+    SigLipTokenizer,
     SimpleTokenizer,
 )
 from spatial_clip_tpu.models.transforms import (  # noqa: F401

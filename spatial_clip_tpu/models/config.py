@@ -147,7 +147,14 @@ class CLIPCfg:
     # reduction pass over x; measured 101.3 vs 103.5 ms/step on the parity
     # config, reports/ab_hybrid_r2.json; equal math in exact arithmetic,
     # <1e-5 relative difference in fp32) | fp32 (two-pass (x-mean)^2,
-    # reference formulation) | compute (bf16 stats experiment)
+    # reference formulation) | compute (bf16 stats experiment).
+    # CAVEAT: E[x^2]-E[x]^2 is cancellation-prone when |mean| >> std (e.g.
+    # extreme outlier channels in some pretrained ViT late layers), and the
+    # max(var, 0) clamp can zero the variance in that regime. The <1e-5
+    # bound above was measured on the parity config's activation scales;
+    # when importing checkpoints from architectures known for outlier
+    # activations, set ln_impl='fp32' to recover the reference's two-pass
+    # formulation exactly.
     ln_impl: str = "onepass"
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP-style bias

@@ -94,6 +94,14 @@ class ModelBundle:
             rngs=rngs,
         )
 
+    def forward_intermediates(self, image=None, text=None, **kwargs):
+        """Per-block intermediate features (ref: model.py:356-452). See
+        :func:`spatial_clip_tpu.models.intermediates.forward_intermediates`
+        for the full argument contract."""
+        from spatial_clip_tpu.models.intermediates import forward_intermediates
+
+        return forward_intermediates(self, image=image, text=text, **kwargs)
+
     @property
     def logit_scale(self):
         return jnp.exp(self.params["logit_scale"])
@@ -122,7 +130,10 @@ def init_params(model: CLIP, cfg: CLIPCfg, seed: int = 0):
     # init on the host CPU backend: avoids a large accelerator compile just
     # for initialization (the trainer jits the real step on device later)
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process job the global
+        # list starts with process 0's devices — init must land on a
+        # device THIS process can address (tests/test_multiprocess.py)
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None:

@@ -21,6 +21,7 @@ import gzip
 import html
 import os
 import re
+import string
 from functools import lru_cache
 from pathlib import Path
 from typing import Iterable, List, Optional, Sequence, Union
@@ -67,7 +68,11 @@ def whitespace_clean(text: str) -> str:
 
 
 def canonicalize_text(text: str) -> str:
-    return whitespace_clean(basic_clean(text)).lower()
+    """big_vision prompt canonicalization (ref tokenizer.py:104-129):
+    underscore->space, punctuation strip, lowercase, whitespace collapse."""
+    text = text.replace("_", " ")
+    text = text.translate(str.maketrans("", "", string.punctuation))
+    return whitespace_clean(text).lower()
 
 
 def _resolve_bpe_path(bpe_path: Optional[str]) -> Optional[Path]:
@@ -347,22 +352,86 @@ class HashTokenizer:
         return out
 
 
+# ---------------------------------------------------------------- POS-lite
+# Lightweight part-of-speech priority heuristic for the ``syntax`` reduction
+# mask (ref: tokenizer.py:331-404 syntax_mask_tokenize uses nltk's
+# averaged-perceptron tagger with priority NN < JJ < VB < other; nltk and
+# its model downloads are unavailable offline, so we vendor a closed-class
+# word list + suffix heuristic with the same priority contract: unknown
+# words default to noun — exactly nltk's own fallback for OOV tokens).
+
+_POS_FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no another
+    i you he she it we they me him her us them my your his its our their
+    mine yours hers ours theirs myself yourself himself herself itself
+    ourselves themselves who whom whose which what
+    in on at by for with about against between into through during before
+    after above below to from up down out off over under again further of
+    near beside behind beneath along across around without within upon
+    and or but nor so yet if because as until while unless than whether
+    is am are was were be been being do does did doing have has had having
+    will would shall should may might must can could
+    not only own same too very just also there here when where why how
+    all both few more most other such""".split()
+)
+_POS_ADJ_SUFFIXES = (
+    "able", "ible", "al", "ful", "ic", "ive", "less", "ous", "ish",
+    "ary", "est", "ant", "ent",
+)
+_POS_VERB_SUFFIXES = ("ing", "ed", "ize", "ise", "ify", "ate", "en")
+
+
+def _pos_priority(word: str) -> int:
+    """1 = noun, 2 = adjective, 3 = verb, 4 = other (drop first)."""
+    w = word.lower()
+    if not any(c.isalpha() for c in w):
+        return 4  # punctuation / numerals
+    if w in _POS_FUNCTION_WORDS:
+        return 4
+    for suf in _POS_ADJ_SUFFIXES:
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            return 2
+    for suf in _POS_VERB_SUFFIXES:
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            return 3
+    return 1  # noun by default (nltk's OOV fallback is NN as well)
+
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]")
+
+
 class ReductionTokenizer:
     """Mask-reduction tokenizer wrapper (ref: tokenizer.py:280-404
-    random/simple/shuffle mask variants): when a text over-fills the context,
-    keep a random subset (``random``: sorted random subset, ``shuffle``:
-    unsorted, ``simple``: random contiguous crop) instead of truncating.
+    random/simple/shuffle/syntax mask variants): when a text over-fills the
+    context, keep a subset (``random``: sorted random subset, ``shuffle``:
+    unsorted, ``simple``: random contiguous crop, ``syntax``: words ranked
+    noun < adj < verb < other by the vendored POS-lite heuristic, original
+    order preserved) instead of truncating.
     Wraps any base tokenizer exposing ``encode``/``sot_token``/``eot_token``.
     """
 
     def __init__(self, base, reduction: str = "random", seed: int = 0):
-        if reduction not in ("random", "shuffle", "simple"):
+        if reduction not in ("random", "shuffle", "simple", "syntax"):
             raise ValueError(f"unknown reduction mask: {reduction}")
         self.base = base
         self.reduction = reduction
         self.rng = np.random.default_rng(seed)
         self.context_length = base.context_length
         self.vocab_size = getattr(base, "vocab_size", None)
+
+    def _syntax_reduce(self, text: str, keep: int) -> str:
+        """Word-level reduction (the reference reduces WORDS, then
+        re-encodes the joined text — some words still expand to 2+ tokens,
+        so a final token-level truncate applies downstream)."""
+        words = _WORD_RE.findall(text)
+        if len(words) <= keep:
+            return text
+        order = np.array([_pos_priority(w) for w in words])
+        # stable sort: among equal priorities, earlier words win (ref
+        # np.argsort default quicksort is unstable; stable matches the
+        # sorted(sorted_ids[:n]) intent deterministically)
+        sel = np.sort(np.argsort(order, kind="stable")[:keep])
+        return " ".join(words[j] for j in sel)
 
     def __call__(
         self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
@@ -372,6 +441,8 @@ class ReductionTokenizer:
         L = context_length or self.context_length
         out = np.zeros((len(texts), L), dtype=np.int32)
         for i, text in enumerate(texts):
+            if self.reduction == "syntax":
+                text = self._syntax_reduce(text, L - 2)
             ids = self.base.encode(text)
             keep = L - 2
             if len(ids) > keep:
@@ -380,6 +451,10 @@ class ReductionTokenizer:
                     if self.reduction == "random":
                         idx = np.sort(idx)
                     ids = [ids[j] for j in idx]
+                elif self.reduction == "syntax":
+                    # words were already priority-reduced; some expand to
+                    # 2+ tokens — final truncate (ref tokenizer.py:380-384)
+                    ids = ids[:keep]
                 else:  # simple: random contiguous crop
                     start = int(self.rng.integers(0, len(ids) - keep + 1))
                     ids = ids[start : start + keep]
@@ -406,6 +481,72 @@ class HFTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         L = context_length or self.context_length
+        enc = self.tokenizer(
+            list(texts),
+            return_tensors="np",
+            max_length=L,
+            padding="max_length",
+            truncation=True,
+        )
+        return enc["input_ids"].astype(np.int32)
+
+
+class SigLipTokenizer:
+    """SigLIP sentencepiece tokenizer wrapper (ref: tokenizer.py:557-620).
+
+    Distinct from :class:`HFTokenizer` in its canonicalization contract —
+    SigLIP training canonicalizes captions (HTML-unescape, punctuation
+    strip, whitespace collapse, NO lowercasing for case-sensitive vocabs)
+    before sentencepiece encoding — and in its pad/eos conventions
+    (pad=0 for gemma vocabs, pad=1/eos=1 for T5 vocabs).
+
+    ``tokenizer_name`` may be a local sentencepiece model path, a local HF
+    tokenizer directory, or a hub name (hub resolution requires network —
+    offline use must pass a local path; the reference's VOCAB_FILES URL
+    table is download-only scaffolding we do not replicate).
+    """
+
+    def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
+        self.context_length = context_length
+        self._gemma = "gemma" in tokenizer_name
+        from transformers import GemmaTokenizerFast, T5TokenizerFast
+
+        cls = GemmaTokenizerFast if self._gemma else T5TokenizerFast
+        kwargs = (
+            dict(padding_side="right", add_bos_token=False, add_eos_token=True)
+            if self._gemma
+            else dict(extra_ids=0, legacy=False)
+        )
+        p = Path(tokenizer_name)
+        if p.exists() and p.is_file():
+            # bare sentencepiece .model file
+            self.tokenizer = cls(vocab_file=str(p), **kwargs)
+        else:
+            self.tokenizer = cls.from_pretrained(tokenizer_name, **kwargs)
+        self.tokenizer.pad_token_id = 0 if self._gemma else 1
+        self.tokenizer.eos_token_id = 1
+        self.vocab_size = self.tokenizer.vocab_size
+
+    def save_pretrained(self, dest):
+        self.tokenizer.save_pretrained(dest)
+
+    @staticmethod
+    def canonicalize(text: str) -> str:
+        """SigLIP cleaning = big_vision prompt canonicalization (ref
+        tokenizer.py:104-129 canonicalize_text, called at :615):
+        HTML-unescape, underscore->space, punctuation strip, lowercase,
+        whitespace collapse."""
+        text = basic_clean(text).replace("_", " ")
+        text = text.translate(str.maketrans("", "", string.punctuation))
+        return whitespace_clean(text.lower())
+
+    def __call__(
+        self, texts: Union[str, Sequence[str]], context_length: Optional[int] = None
+    ) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        L = context_length or self.context_length
+        texts = [self.canonicalize(t) for t in texts]
         enc = self.tokenizer(
             list(texts),
             return_tensors="np",

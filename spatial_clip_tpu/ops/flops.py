@@ -80,7 +80,10 @@ def profile_model(
 
 def feature_take_indices(num_blocks: int, indices) -> list:
     """Normalize block-index specs (ref: src/open_clip/utils.py:94
-    feature_take_indices): int n -> last n blocks; negatives wrap."""
+    feature_take_indices): None -> all blocks; int n -> last n blocks;
+    negatives wrap."""
+    if indices is None:
+        return list(range(num_blocks))
     if isinstance(indices, int):
         return list(range(num_blocks - indices, num_blocks))
     return [i if i >= 0 else num_blocks + i for i in indices]

@@ -45,8 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 # PV dot — saves a reduce + a (bB,L,L)-wide elementwise pass per sub-head.
 # Measured 99.1 vs 101.0 ms/step on the parity config
 # (reports/ab_fastsm_r2.json). fp32 exp overflows only if a score exceeds
-# ~88 + SHIFT = 108; CLIP attention logits are O(30). Set False to restore
-# the running-max formulation (arm suffix '~fast' toggles it per A/B arm).
+# ~88 + SHIFT = 108; CLIP attention logits are O(30). Underflow floor: if
+# EVERY unmasked score in a row fell below ~-68 the row's exp-sum would be
+# 0 — the 1/sum normalizations below clamp the denominator at 1e-30 so such
+# a row degrades to zeros instead of NaN. Set False to restore the
+# running-max formulation (arm suffix '~fast' toggles it per A/B arm).
 FAST_SOFTMAX = True
 _FAST_SHIFT = 20.0
 
@@ -117,7 +120,7 @@ def _one_head_fwd(q, k, v, mask, scale):
             e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        return o * (1.0 / e.sum(axis=-1, keepdims=True))
+        return o * (1.0 / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30))
     s = s - s.max(axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
@@ -132,10 +135,10 @@ def _p_from_scores(s):
     FAST_SOFTMAX (fixed shift instead of the per-row max reduction)."""
     if FAST_SOFTMAX:
         e = jnp.exp(s - _FAST_SHIFT)
-        return e / e.sum(axis=-1, keepdims=True)
+        return e / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
     s = s - s.max(axis=-1, keepdims=True)
     e = jnp.exp(s)
-    return e / e.sum(axis=-1, keepdims=True)
+    return e / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
 
 
 def _pair_fwd(qs, ks, vs, mask2, scale):
@@ -157,7 +160,7 @@ def _pair_fwd(qs, ks, vs, mask2, scale):
             e.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        o = o * (1.0 / e.sum(axis=-1, keepdims=True))
+        o = o * (1.0 / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30))
     else:
         s = s - s.max(axis=-1, keepdims=True)
         p = jnp.exp(s)

@@ -57,22 +57,39 @@ def make_hybrid_mesh(
     dcn_axis: str = "replica",
     ici_axes: Sequence[str] = (DATA_AXIS,),
     ici_sizes: Optional[Sequence[int]] = None,
+    n_slices: Optional[int] = None,
 ) -> Mesh:
     """Multi-slice mesh: slow DCN axis outermost, fast ICI axes within a
     slice (the 'multi-pod data parallelism over DCN' shape, SURVEY.md §2.7).
-    Falls back to a single-slice mesh when there's one slice."""
+    Falls back to a single-slice mesh when there's one slice.
+
+    ``n_slices`` overrides slice detection — on multi-process CPU/GPU
+    topologies (no ``slice_index`` attr) each *process* is the DCN island,
+    so pass ``n_slices=jax.process_count()`` to place the replica axis
+    across processes (exercised by tests/test_multiprocess.py).
+    """
     from jax.experimental import mesh_utils
 
-    n_slices = getattr(jax.devices()[0], "num_slices", 1) or 1
+    if n_slices is None:
+        n_slices = getattr(jax.devices()[0], "num_slices", 1) or 1
     per_slice = len(jax.devices()) // n_slices
     if ici_sizes is None:
         ici_sizes = [per_slice] + [1] * (len(ici_axes) - 1)
     if n_slices == 1:
         return make_mesh(axes=(dcn_axis, *ici_axes), axis_sizes=[1, *ici_sizes])
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=tuple(ici_sizes),
-        dcn_mesh_shape=(n_slices,) + (1,) * (len(ici_sizes) - 1),
-    )
+    slice_ids = {getattr(d, "slice_index", 0) or 0 for d in jax.devices()}
+    if len(slice_ids) == n_slices:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=tuple(ici_sizes),
+            dcn_mesh_shape=(n_slices,) + (1,) * (len(ici_sizes) - 1),
+        )
+    else:
+        # no slice topology info (CPU multi-process): group by process so
+        # the outer axis crosses the slow (inter-process) links
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        devices = np.asarray(devs).reshape(
+            (n_slices,) + tuple(ici_sizes)
+        )
     return Mesh(devices, (dcn_axis, *ici_axes))
 
 

@@ -105,6 +105,9 @@ class TrainerConfig:
     monitor: str = "R@1"
     monitor_mode: str = "max"
     early_stop_patience: Optional[int] = None
+    # Per-jit XLA compiler overrides for the train/eval steps (e.g.
+    # {"xla_tpu_scoped_vmem_limit_kib": "65536"}); None = backend defaults.
+    compiler_options: Optional[Dict[str, str]] = None
     extra: Dict[str, Any] = dfield(default_factory=dict)
 
 
@@ -176,7 +179,15 @@ class Trainer:
             else None
         )
         self._repl = NamedSharding(self.mesh, P())
-        self._batch_sh = NamedSharding(self.mesh, P("data"))
+        # hybrid DCN meshes (make_hybrid_mesh) carry an outer 'replica'
+        # axis; the batch shards over (replica, data) so data parallelism
+        # spans slices/processes, with gradient all-reduce riding DCN
+        batch_axes = (
+            ("replica", "data")
+            if self.mesh.shape.get("replica", 1) > 1
+            else "data"
+        )
+        self._batch_sh = NamedSharding(self.mesh, P(batch_axes))
         # tensor parallelism: with a >1-sized 'model' mesh axis the params
         # (and, via propagation, the optimizer moments) are sharded per
         # parallel/sharding.infer_param_shardings; the train/eval jits then
@@ -332,9 +343,13 @@ class Trainer:
 
         def body(g_acc, j):
             l, g = jax.value_and_grad(mb_loss, argnums=0)(params, j)
-            return jax.tree.map(jnp.add, g_acc, g), l
+            return jax.tree.map(
+                lambda a, gi: a + gi.astype(a.dtype), g_acc, g
+            ), l
 
-        zero = jax.tree.map(jnp.zeros_like, params)
+        # fp32 accumulator regardless of param dtype (bf16 under
+        # master_weights) — microbatch sums must not lose mantissa
+        zero = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         grads, losses = jax.lax.scan(body, zero, jnp.arange(accum))
         # metric logits over the full effective batch
         scale = jnp.exp(params["logit_scale"])
@@ -377,11 +392,17 @@ class Trainer:
                         fwd_params, mb, r
                     )
                     return (
-                        jax.tree.map(jnp.add, g_acc, g),
+                        jax.tree.map(lambda a, gi: a + gi.astype(a.dtype),
+                                     g_acc, g),
                         l_acc + l,
                     ), _lg
 
-                zero = jax.tree.map(jnp.zeros_like, fwd_params)
+                # accumulate in fp32 even when fwd_params (and hence kernel
+                # grads) are bf16 under master_weights — bf16 accumulation
+                # loses mantissa across microbatches
+                zero = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), fwd_params
+                )
                 (g_sum, l_sum), logits_all = jax.lax.scan(
                     body, (zero, 0.0), (mbs, jnp.arange(accum))
                 )
@@ -418,16 +439,18 @@ class Trainer:
                 step_metrics[f"R@{k}"] = recall_at_k(logits, targets, k)
             return new_state, step_metrics
 
+        copts = self.cfg.compiler_options
         if self._tp:
             # params/moments arrive TP-sharded; let GSPMD propagate instead
             # of forcing replication
             return jax.jit(step_fn, in_shardings=(None, self._batch_sh),
-                           donate_argnums=(0,))
+                           donate_argnums=(0,), compiler_options=copts)
         return jax.jit(
             step_fn,
             in_shardings=(self._repl, self._batch_sh),
             out_shardings=(self._repl, self._repl),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
 
     def make_eval_step(self) -> Callable:
@@ -478,7 +501,11 @@ class Trainer:
                     restored = restored.replace(
                         live=self._to_live(restored.params)
                     )
-                state = jax.device_put(restored, self._repl)
+                # Re-place with the shardings init_state established (TP
+                # param/moment layouts included) — a blanket replicated
+                # device_put would silently defeat dp x tp after resume.
+                target_sh = jax.tree.map(lambda x: x.sharding, state)
+                state = jax.device_put(restored, target_sh)
                 log.info("Resumed from step %d", step)
             except FileNotFoundError:
                 log.info("No checkpoint found; starting fresh")

@@ -210,6 +210,58 @@ def test_reduction_tokenizer():
         assert ((kept >= 4) & (kept < 34)).all()
 
 
+def test_syntax_reduction_tokenizer():
+    """POS-lite syntax mask (ref tokenizer.py:331-404): content words
+    (nouns first) survive reduction; function words are dropped first."""
+    from spatial_clip_tpu.models.tokenizer import (
+        ReductionTokenizer,
+        SimpleTokenizer,
+        _pos_priority,
+    )
+
+    # priority contract: noun < adjective < verb < other
+    assert _pos_priority("tissue") == 1
+    assert _pos_priority("beautiful") == 2
+    assert _pos_priority("running") == 3
+    assert _pos_priority("the") == 4
+    assert _pos_priority(",") == 4
+
+    words = ["cell", "tumor", "tissue", "liver", "gland", "duct",
+             "the", "and", "of", "are", "in", "with", "near"]
+    base = GeneTokenizer(words, context_length=10)
+    tok = ReductionTokenizer(base, reduction="syntax", seed=0)
+    text = ("the cell and the tumor are in the tissue of the liver "
+            "with the gland near the duct")
+    ids = tok([text])
+    assert ids.shape == (1, 10)
+    assert ids[0, 0] == base.sot_token and base.eot_token in ids[0]
+    kept = base.decode([t for t in ids[0].tolist()
+                        if t not in (0, base.sot_token, base.eot_token)]).split()
+    # every noun survives; the remaining slots (8 keep - 6 nouns) fall back
+    # to function words in original order — same fill semantics as the ref
+    assert len(kept) == 8
+    for noun in ("CELL", "TUMOR", "TISSUE", "LIVER", "GLAND", "DUCT"):
+        assert noun in kept
+    assert sum(w in ("THE", "AND", "OF", "ARE", "IN", "WITH", "NEAR")
+               for w in kept) == 2
+
+    # short texts pass through unreduced
+    short = tok(["liver tissue"])
+    np.testing.assert_array_equal(short, base(["liver tissue"]))
+
+
+def test_siglip_tokenizer_canonicalization():
+    """SigLIP cleaning contract (ref tokenizer.py:557-620 + :104-129):
+    HTML-unescape, underscore->space, punctuation strip, lowercase,
+    whitespace collapse."""
+    from spatial_clip_tpu.models.tokenizer import SigLipTokenizer
+
+    c = SigLipTokenizer.canonicalize
+    assert c("Hello, _World_!  ") == "hello world"
+    assert c("A &amp; B's  cells") == "a bs cells"
+    assert c("tumor-adjacent   stroma.") == "tumoradjacent stroma"
+
+
 def test_hf_text_tower_offline():
     """HF (Flax BERT) text tower built from a local config — no network."""
     hf_cfg = {"vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 2,
