@@ -69,6 +69,11 @@ def build(arm: str, batch: int, model: str):
     if "^noaug" in name:
         name = name.replace("^noaug", "")
         augment = False
+    # '^light' selects reference-parity per-step metrics (loss/scale/lr)
+    step_metrics = "full"
+    if "^light" in name:
+        name = name.replace("^light", "")
+        step_metrics = "light"
     # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     import spatial_clip_tpu.models.transformer as _tf
 
@@ -132,7 +137,8 @@ def build(arm: str, batch: int, model: str):
                              augment=augment,
                              color_jitter=0.2 if augment else None,
                              log_every=10**9,
-                             master_weights=master, compiler_options=copts),
+                             master_weights=master, compiler_options=copts,
+                             step_metrics=step_metrics),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()

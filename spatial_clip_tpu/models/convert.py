@@ -158,20 +158,147 @@ def _export_rn_visual(flat: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
 
 
 def _convert_text_tower(sd: Dict[str, np.ndarray], out: Dict[str, np.ndarray]):
-    """CLIP text tower at the state-dict top level -> flax `text/`."""
+    """CLIP text tower -> flax `text/`. Handles both the classic top-level
+    layout (CLIP) and the ``text.``-prefixed CustomTextCLIP/SigLIP layout
+    (ref: model.py CustomTextCLIP), including the Linear-with-bias
+    text_projection flavor (proj_bias)."""
+    p = "text." if "text.token_embedding.weight" in sd else ""
     n_txt = max(
-        (int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")),
+        (int(k.split(".")[2 + (p != "")])
+         for k in sd if k.startswith(f"{p}transformer.resblocks.")),
         default=-1,
     ) + 1
-    out["text/token_embedding/embedding"] = sd["token_embedding.weight"]
-    out["text/positional_embedding"] = sd["positional_embedding"]
-    out["text/ln_final/scale"] = sd["ln_final.weight"]
-    out["text/ln_final/bias"] = sd["ln_final.bias"]
-    out["text/text_projection"] = sd["text_projection"]
+    out["text/token_embedding/embedding"] = sd[f"{p}token_embedding.weight"]
+    out["text/positional_embedding"] = sd[f"{p}positional_embedding"]
+    out["text/ln_final/scale"] = sd[f"{p}ln_final.weight"]
+    out["text/ln_final/bias"] = sd[f"{p}ln_final.bias"]
+    if f"{p}text_projection.weight" in sd:  # nn.Linear projection (SigLIP)
+        out["text/text_projection/kernel"] = sd[f"{p}text_projection.weight"].T
+        if f"{p}text_projection.bias" in sd:
+            out["text/text_projection/bias"] = sd[f"{p}text_projection.bias"]
+    else:
+        out["text/text_projection"] = sd[f"{p}text_projection"]
+    if f"{p}cls_emb" in sd:
+        out["text/cls_emb"] = sd[f"{p}cls_emb"].reshape(-1)
     for i in range(n_txt):
         _convert_block(
-            sd, f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}", out
+            sd, f"{p}transformer.resblocks.{i}", f"text/transformer/resblocks_{i}", out
         )
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight -> flax HWIO kernel (depthwise included:
+    (C,1,k,k) -> (k,k,1,C))."""
+    return w.transpose(2, 3, 1, 0)
+
+
+def _lin(sd, tkey: str, out: Dict[str, np.ndarray], jkey: str):
+    out[f"{jkey}/kernel"] = sd[f"{tkey}.weight"].T
+    if f"{tkey}.bias" in sd:
+        out[f"{jkey}/bias"] = sd[f"{tkey}.bias"]
+
+
+def _ln(sd, tkey: str, out: Dict[str, np.ndarray], jkey: str):
+    out[f"{jkey}/scale"] = sd[f"{tkey}.weight"]
+    out[f"{jkey}/bias"] = sd[f"{tkey}.bias"]
+
+
+def _convert_timm_vit_block(sd, tprefix: str, jprefix: str, out):
+    """timm ViT block (blocks.{i}.norm1/attn.qkv/attn.proj/norm2/mlp.fc*)
+    -> our resblock tree (ref: open_clip torch ckpts for timm trunks,
+    factory.py:181-225 + timm vision_transformer naming)."""
+    _ln(sd, f"{tprefix}.norm1", out, f"{jprefix}/ln_1")
+    _ln(sd, f"{tprefix}.norm2", out, f"{jprefix}/ln_2")
+    # torch qkv.weight rows are [q; k; v] (3D, D); our fused qkv kernel is
+    # (D, 3D) with [q|k|v] columns — a plain transpose preserves the order
+    _lin(sd, f"{tprefix}.attn.qkv", out, f"{jprefix}/attn/qkv")
+    _lin(sd, f"{tprefix}.attn.proj", out, f"{jprefix}/attn/out")
+    _lin(sd, f"{tprefix}.mlp.fc1", out, f"{jprefix}/mlp/c_fc")
+    _lin(sd, f"{tprefix}.mlp.fc2", out, f"{jprefix}/mlp/c_proj")
+
+
+def _convert_timm_vit_visual(sd, out):
+    """timm ViT trunk under ``visual.trunk.`` (the SigLIP/SigLIP2 and
+    vit-*-gap torch flavors) -> TimmStyleTower tree. Mirrors the proven
+    big_vision .npz mapping (load_big_vision_npz) so both converters land
+    on identical trees — cross-checked by tests/test_torch_parity.py."""
+    tr = "visual.trunk"
+    out["visual/trunk/patch_embed/kernel"] = _conv_w(sd[f"{tr}.patch_embed.proj.weight"])
+    if f"{tr}.patch_embed.proj.bias" in sd:
+        out["visual/trunk/patch_embed/bias"] = sd[f"{tr}.patch_embed.proj.bias"]
+    pe = sd[f"{tr}.pos_embed"]
+    out["visual/trunk/pos_embed"] = pe.reshape(-1, pe.shape[-1])
+    if f"{tr}.cls_token" in sd:
+        out["visual/trunk/cls"] = sd[f"{tr}.cls_token"].reshape(-1)
+    i = 0
+    while f"{tr}.blocks.{i}.norm1.weight" in sd:
+        _convert_timm_vit_block(
+            sd, f"{tr}.blocks.{i}", f"visual/trunk/blocks/resblocks_{i}", out
+        )
+        i += 1
+    _ln(sd, f"{tr}.norm", out, "visual/trunk/norm")
+    # MAP pooling head (timm AttentionPoolLatent; global_pool='map')
+    if f"{tr}.attn_pool.latent" in sd:
+        ap = f"{tr}.attn_pool"
+        D = sd[f"{ap}.latent"].shape[-1]
+        out["visual/attn_pool/probe"] = sd[f"{ap}.latent"].reshape(1, D)
+        _lin(sd, f"{ap}.q", out, "visual/attn_pool/q")
+        kv_w, kv_b = sd[f"{ap}.kv.weight"], sd[f"{ap}.kv.bias"]
+        out["visual/attn_pool/k/kernel"] = kv_w[:D].T
+        out["visual/attn_pool/k/bias"] = kv_b[:D]
+        out["visual/attn_pool/v/kernel"] = kv_w[D:].T
+        out["visual/attn_pool/v/bias"] = kv_b[D:]
+        _lin(sd, f"{ap}.proj", out, "visual/attn_pool/out")
+        _ln(sd, f"{ap}.norm", out, "visual/attn_pool/ln")
+        _lin(sd, f"{ap}.mlp.fc1", out, "visual/attn_pool/mlp_fc")
+        _lin(sd, f"{ap}.mlp.fc2", out, "visual/attn_pool/mlp_proj")
+    # projection head (timm_proj='linear'/'mlp'; absent for proj='none')
+    if "visual.head.proj.weight" in sd:
+        _lin(sd, "visual.head.proj", out, "visual/head_proj")
+    if "visual.head.mlp.fc1.weight" in sd:
+        _lin(sd, "visual.head.mlp.fc1", out, "visual/head_mlp_fc")
+        _lin(sd, "visual.head.mlp.fc2", out, "visual/head_mlp_proj")
+
+
+def _convert_convnext_visual(sd, out):
+    """timm ConvNeXt trunk under ``visual.trunk.`` -> ConvNeXtTrunk tree
+    (ref: open_clip convnext_* torch ckpts; timm convnext naming:
+    stem.0/1, stages.{s}.downsample.0/1, stages.{s}.blocks.{b}.conv_dw/
+    norm/mlp.fc1/mlp.fc2/gamma, head.norm)."""
+    tr = "visual.trunk"
+    out["visual/trunk/stem_conv/kernel"] = _conv_w(sd[f"{tr}.stem.0.weight"])
+    out["visual/trunk/stem_conv/bias"] = sd[f"{tr}.stem.0.bias"]
+    _ln(sd, f"{tr}.stem.1", out, "visual/trunk/stem_norm")
+    s = 0
+    while f"{tr}.stages.{s}.blocks.0.conv_dw.weight" in sd:
+        if s > 0:
+            _ln(sd, f"{tr}.stages.{s}.downsample.0", out,
+                f"visual/trunk/ds_norm_{s}")
+            out[f"visual/trunk/ds_conv_{s}/kernel"] = _conv_w(
+                sd[f"{tr}.stages.{s}.downsample.1.weight"])
+            out[f"visual/trunk/ds_conv_{s}/bias"] = sd[
+                f"{tr}.stages.{s}.downsample.1.bias"]
+        b = 0
+        while f"{tr}.stages.{s}.blocks.{b}.conv_dw.weight" in sd:
+            tb = f"{tr}.stages.{s}.blocks.{b}"
+            jb = f"visual/trunk/stage{s}_block{b}"
+            out[f"{jb}/dwconv/kernel"] = _conv_w(sd[f"{tb}.conv_dw.weight"])
+            out[f"{jb}/dwconv/bias"] = sd[f"{tb}.conv_dw.bias"]
+            _ln(sd, f"{tb}.norm", out, f"{jb}/norm")
+            _lin(sd, f"{tb}.mlp.fc1", out, f"{jb}/pwconv1")
+            _lin(sd, f"{tb}.mlp.fc2", out, f"{jb}/pwconv2")
+            out[f"{jb}/gamma"] = sd[f"{tb}.gamma"]
+            b += 1
+        s += 1
+    # trunk head norm (timm keeps head.norm after reset_classifier(0));
+    # our avg-pool path names it head_norm
+    if f"{tr}.head.norm.weight" in sd:
+        _ln(sd, f"{tr}.head.norm", out, "visual/head_norm")
+    if "visual.head.proj.weight" in sd:
+        _lin(sd, "visual.head.proj", out, "visual/head_proj")
+    if "visual.head.mlp.fc1.weight" in sd:
+        _lin(sd, "visual.head.mlp.fc1", out, "visual/head_mlp_fc")
+        _lin(sd, "visual.head.mlp.fc2", out, "visual/head_mlp_proj")
 
 
 def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -182,6 +309,22 @@ def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if "token_embedding.weight" in sd:
             _convert_text_tower(sd, out)
         out["logit_scale"] = sd["logit_scale"].reshape(())
+        return _unflatten(out)
+    if "visual.trunk.stem.0.weight" in sd:  # timm ConvNeXt tower
+        _convert_convnext_visual(sd, out)
+        if "text.token_embedding.weight" in sd or "token_embedding.weight" in sd:
+            _convert_text_tower(sd, out)
+        out["logit_scale"] = sd["logit_scale"].reshape(())
+        if "logit_bias" in sd:
+            out["logit_bias"] = sd["logit_bias"].reshape(())
+        return _unflatten(out)
+    if "visual.trunk.patch_embed.proj.weight" in sd:  # timm ViT (SigLIP etc.)
+        _convert_timm_vit_visual(sd, out)
+        if "text.token_embedding.weight" in sd or "token_embedding.weight" in sd:
+            _convert_text_tower(sd, out)
+        out["logit_scale"] = sd["logit_scale"].reshape(())
+        if "logit_bias" in sd:
+            out["logit_bias"] = sd["logit_bias"].reshape(())
         return _unflatten(out)
     n_vis = max(
         (int(k.split(".")[3]) for k in sd if k.startswith("visual.transformer.resblocks.")),
@@ -201,7 +344,7 @@ def torch_to_jax_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             sd, f"visual.transformer.resblocks.{i}", f"visual/transformer/resblocks_{i}", out
         )
 
-    if "token_embedding.weight" in sd:  # CLIP text tower at top level
+    if "token_embedding.weight" in sd or "text.token_embedding.weight" in sd:
         _convert_text_tower(sd, out)
 
     out["logit_scale"] = sd["logit_scale"].reshape(())
@@ -499,6 +642,9 @@ def detect_checkpoint_flavor(sd: Dict[str, np.ndarray]) -> str:
         return "mobileclip"
     if any(k.startswith("visual.transformer.resblocks.") for k in sd):
         return "open_clip"
+    if "visual.trunk.stem.0.weight" in sd or \
+            "visual.trunk.patch_embed.proj.weight" in sd:
+        return "open_clip"  # timm trunk flavors (convnext / vit-siglip / gap)
     if any(k.startswith("text_encoder.") for k in sd):
         return "mobileclip"
     return "unknown"

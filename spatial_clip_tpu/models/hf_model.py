@@ -86,3 +86,52 @@ class HFTextTower(nn.Module):
         if self.proj2 is not None:
             x = self.proj2(nn.gelu(x))
         return x
+
+
+_ARCH_TO_FLAX_MODEL = {
+    "bert": "FlaxBertModel",
+    "roberta": "FlaxRobertaModel",
+    "xlm-roberta": "FlaxXLMRobertaModel",
+}
+
+
+def convert_torch_hf_state_dict(
+    pt_state_dict: Dict[str, Any], arch: str = "bert",
+    hf_config: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """torch HF encoder state dict -> the flax param subtree that slots in
+    at ``params['text']['hf']`` of a :class:`HFTextTower` model.
+
+    This is the offline weight-transfer path for the reference's
+    ``HFTextEncoder(pretrained=True)`` surface (ref: hf_model.py:96-193) —
+    hub downloads need network, but a local torch state dict converts
+    through transformers' own pt->flax mapping (tested bit-parity in
+    tests/test_torch_parity.py::test_hf_bert_weight_transfer_parity).
+    """
+    import transformers
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+
+    _, config_cls = _load_arch(arch)
+    cfg = config_cls(**(hf_config or {}))
+    model_cls = getattr(transformers, _ARCH_TO_FLAX_MODEL[arch])
+    flax_model = model_cls(cfg)
+    return jax.tree.map(
+        lambda x: jnp.asarray(x),
+        convert_pytorch_state_dict_to_flax(pt_state_dict, flax_model),
+    )
+
+
+def load_torch_hf_weights(
+    params: Dict[str, Any], pt_state_dict: Dict[str, Any],
+    arch: str = "bert", hf_config: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Return a copy of a model ``params`` tree with the HF text encoder
+    weights replaced by a converted torch state dict."""
+    hf_params = convert_torch_hf_state_dict(pt_state_dict, arch, hf_config)
+    out = dict(params)
+    text = dict(out["text"])
+    text["hf"] = hf_params
+    out["text"] = text
+    return out

@@ -104,6 +104,13 @@ class TrainerConfig:
     # monitors val/R@1 max, EarlyStopping patience)
     monitor: str = "R@1"
     monitor_mode: str = "max"
+    # Per-step metric set. 'full' (default): loss + logit_scale + lr +
+    # grad_norm + in-batch R@{1,5,10} every step — richer than the
+    # reference. 'light': reference per-step parity (open_clip
+    # train.py:244-259 logs loss/scale only; recalls are an eval-time
+    # metric) — skips the in-batch top-k sorts and the duplicate
+    # global-norm reduction (clipping computes its own inside optax).
+    step_metrics: str = "full"
     early_stop_patience: Optional[int] = None
     # Per-jit XLA compiler overrides for the train/eval steps (e.g.
     # {"xla_tpu_scoped_vmem_limit_kib": "65536"}); None = backend defaults.
@@ -428,15 +435,16 @@ class Trainer:
                 rng=next_rng,
                 live=self._to_live(params) if cfg.master_weights else None,
             )
-            targets = jnp.arange(logits.shape[0], dtype=jnp.int32)
             step_metrics = {
                 "loss": loss,
                 "logit_scale": jnp.exp(params["logit_scale"]),
-                "grad_norm": global_norm_f32(grads),
                 "lr": self.schedule(state.step),
             }
-            for k in (1, 5, 10):
-                step_metrics[f"R@{k}"] = recall_at_k(logits, targets, k)
+            if cfg.step_metrics != "light":
+                targets = jnp.arange(logits.shape[0], dtype=jnp.int32)
+                step_metrics["grad_norm"] = global_norm_f32(grads)
+                for k in (1, 5, 10):
+                    step_metrics[f"R@{k}"] = recall_at_k(logits, targets, k)
             return new_state, step_metrics
 
         copts = self.cfg.compiler_options
