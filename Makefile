@@ -26,6 +26,12 @@ preprocess:  ## 3-stage HEST preprocessing (override CFG=preprocess/<name>)
 profile:  ## per-model GFLOPs/params
 	python -m spatial_clip_tpu.cli.profiler --model ViT-B-32 --train
 
+rehearsal:  ## full e2e rehearsal: 50 synthetic slides -> preprocess -> shards -> train -> eval (+gap stats, shard replay)
+	python scripts/e2e_rehearsal.py --slides 50 --out reports/e2e_rehearsal.json
+
+rehearsal-smoke:  ## CI-sized e2e rehearsal (4 slides, 3 train steps)
+	python scripts/e2e_rehearsal.py --smoke --out reports/e2e_rehearsal_smoke.json
+
 clean:
 	rm -rf .pytest_cache logs **/__pycache__
 	$(MAKE) -C native clean

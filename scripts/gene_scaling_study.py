@@ -24,11 +24,15 @@ import numpy as np  # noqa: E402
 
 
 def run_arm(tower: str, spots: int, epochs: int, batch: int,
-            gene_width: int = 256, gene_layers: int = 2, seed: int = 0) -> dict:
+            gene_width: int = 256, gene_layers: int = 2, seed: int = 0,
+            generator: str = "identity") -> dict:
     from spatial_clip_tpu import create_model
     from spatial_clip_tpu.data.datamodule import DataLoader
     from spatial_clip_tpu.data.datasets import SyntheticSpatialDataset
-    from spatial_clip_tpu.data.datasets.synthetic import synthetic_gene_list
+    from spatial_clip_tpu.data.datasets.synthetic import (
+        SyntheticExpressionDataset,
+        synthetic_gene_list,
+    )
     from spatial_clip_tpu.losses import make_loss
     from spatial_clip_tpu.models.tokenizer import GeneTokenizer, GeneVectorizer
     from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
@@ -37,11 +41,13 @@ def run_arm(tower: str, spots: int, epochs: int, batch: int,
         tok = GeneVectorizer(synthetic_gene_list())
     else:
         tok = GeneTokenizer(synthetic_gene_list(), context_length=56)
-    train_ds = SyntheticSpatialDataset(
+    ds_cls = (SyntheticExpressionDataset if generator == "expression"
+              else SyntheticSpatialDataset)
+    train_ds = ds_cls(
         num_samples=spots, image_size=64, k_neighbors=6, sentence_len=50,
         tokenizer=tok, seed=seed,
     )
-    val_ds = SyntheticSpatialDataset(
+    val_ds = ds_cls(
         num_samples=512, image_size=64, k_neighbors=6, sentence_len=50,
         tokenizer=tok, seed=seed + 1,
     )
@@ -93,6 +99,7 @@ def run_arm(tower: str, spots: int, epochs: int, batch: int,
     val = trainer.evaluate(state, DataLoader(val_ds, batch_size=256, shuffle=False))
     out = {
         "tower": tower, "spots": spots, "steps": steps, "epochs": epochs,
+        "generator": generator,
         "gene_width": gene_width if tower == "gene" else None,
         "gene_layers": gene_layers if tower == "gene" else None,
         "train_loss_curve": losses,
@@ -107,19 +114,34 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--generator", default="identity",
+                    choices=("identity", "expression"))
+    ap.add_argument("--arms", default=None,
+                    help="comma list tower:spots[:width:layers], e.g. "
+                         "'gene:65536,text:65536,gene:262144,text:262144'")
     ap.add_argument("--out", type=Path, default=Path("reports/gene_scaling.json"))
     args = ap.parse_args(argv)
-    arms = [
-        ("gene", 8192, {}),
-        ("gene", 32768, {}),
-        ("gene", 65536, {}),
-        ("gene", 65536, {"gene_width": 512, "gene_layers": 3}),
-        ("text", 8192, {}),
-        ("text", 65536, {}),
-    ]
+    if args.arms:
+        arms = []
+        for spec in args.arms.split(","):
+            parts = spec.strip().split(":")
+            kw = {}
+            if len(parts) >= 4:
+                kw = {"gene_width": int(parts[2]), "gene_layers": int(parts[3])}
+            arms.append((parts[0], int(parts[1]), kw))
+    else:
+        arms = [
+            ("gene", 8192, {}),
+            ("gene", 32768, {}),
+            ("gene", 65536, {}),
+            ("gene", 65536, {"gene_width": 512, "gene_layers": 3}),
+            ("text", 8192, {}),
+            ("text", 65536, {}),
+        ]
     results = []
     for tower, spots, kw in arms:
-        results.append(run_arm(tower, spots, args.epochs, args.batch, **kw))
+        results.append(run_arm(tower, spots, args.epochs, args.batch,
+                               generator=args.generator, **kw))
         args.out.parent.mkdir(parents=True, exist_ok=True)
         args.out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))

@@ -224,3 +224,27 @@ def test_native_tar_indexer_matches_tarfile(tmp_path):
     with tf_mod.open(tar_path) as tf:
         expected = {m.name: (m.offset_data, m.size) for m in tf if m.isfile()}
     assert native == expected
+
+
+def test_synthetic_expression_dataset_world_sharing():
+    """Continuous-expression generator: train/val share the WORLD (gene
+    loadings + render basis) but draw different latent fields; items are
+    deterministic; sentences are expression-ranked gene tokens."""
+    import numpy as np
+
+    from spatial_clip_tpu.data.datasets.synthetic import (
+        SyntheticExpressionDataset,
+    )
+
+    tr = SyntheticExpressionDataset(num_samples=64, image_size=32, seed=0)
+    va = SyntheticExpressionDataset(num_samples=64, image_size=32, seed=1)
+    np.testing.assert_array_equal(tr._W, va._W)
+    np.testing.assert_array_equal(tr._render_freq, va._render_freq)
+    assert not np.array_equal(tr._z, va._z)
+    a, b = tr[0], tr[0]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["raw_text"] == b["raw_text"]
+    assert a["image"].shape == (32, 32, 3) and a["image"].dtype == np.uint8
+    assert len(a["raw_text"].split()) == 50
+    assert a["raw_text"] != tr[5]["raw_text"]
+    assert len(a["neighbor_tile_ids"]) == 6
