@@ -87,6 +87,27 @@ def test_overlap_split(parquet_ds, tmp_path):
     assert set(train) == {"S1", "S2"}  # overlap: all samples in train
 
 
+def test_find_overlapping_ids(parquet_ds, tmp_path):
+    """Overlap discovery across id-source kinds (ref:
+    scripts/find_overlapping_ids.py — allowlist-vs-parquet intersection)."""
+    import find_overlapping_ids
+
+    cfg = tmp_path / "medium.yaml"
+    cfg.write_text(
+        "params:\n  samples_allowlist:\n    - S1\n    - S_other\n"
+    )
+    overlap = find_overlapping_ids.main([str(cfg), str(parquet_ds)])
+    assert overlap == ["S1"]
+
+    txt = tmp_path / "ids.txt"
+    txt.write_text("S2\nS9\n")
+    out = tmp_path / "overlap.txt"
+    overlap = find_overlapping_ids.main(
+        [str(txt), str(parquet_ds), "--out", str(out)]
+    )
+    assert overlap == ["S2"] and out.read_text().strip() == "S2"
+
+
 def test_validator_and_manifest_on_real_pipeline(tmp_path):
     """Full pipeline -> validator reports 100% validity -> manifest inspects clean."""
     from tests.test_preprocess import _make_raw_hest
