@@ -122,6 +122,10 @@ def build(arm: str, batch: int, model: str):
                       "xla_tpu_scoped_vmem_limit_kib": "65536"},
         "fcm": {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
         "flash": {"xla_tpu_enable_flash_attention": "true"},
+        "bundle": {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"},
+        "rwb": {"xla_tpu_rwb_fusion": "true"},
+        "scav": {"xla_tpu_scavenge_vmem_for_fusions": "true"},
+        "nodup": {"xla_tpu_reduce_loop_fusion_dup_with_unfusable_user": "true"},
     }
     if "!" in name:
         name, preset = name.split("!")
