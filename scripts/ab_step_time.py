@@ -69,6 +69,12 @@ def build(arm: str, batch: int, model: str):
     if "^noaug" in name:
         name = name.replace("^noaug", "")
         augment = False
+    # '^par' marks kernel grid dims parallel for Mosaic scheduling
+    if "^par" in name:
+        name = name.replace("^par", "")
+        fa.PARALLEL_SEMANTICS = True
+    else:
+        fa.PARALLEL_SEMANTICS = False
     # '^light' selects reference-parity per-step metrics (loss/scale/lr)
     step_metrics = "full"
     if "^light" in name:

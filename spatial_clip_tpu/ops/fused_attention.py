@@ -415,6 +415,19 @@ BWD_BLOCK_CAP = 32
 # so a larger scoped budget unlocks bigger blocks (fewer grid steps, less
 # per-step overhead) — tuned via scripts/bench_attn_kernel.py.
 VMEM_LIMIT_BYTES = 64 * 2 ** 20
+
+# Mark the default fwd/bwd kernels' grid dims (batch block x head group) as
+# "parallel" for Mosaic — every grid step reads/writes disjoint blocks, so
+# the scheduler may reorder/pipeline freely. A/B knob (arm suffix '^par');
+# off by default until measured on chip.
+PARALLEL_SEMANTICS = False
+
+
+def _default_cparams(grid):
+    kw = dict(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+    if PARALLEL_SEMANTICS:
+        kw["dimension_semantics"] = ("parallel",) * len(grid)
+    return pltpu.CompilerParams(**kw)
 # 'group' (default): grid (batch, head-group) with 128-lane strided blocks —
 # measured 103.7 ms/step at model level vs 106.8 for 'slab'. 'slab': grid
 # over batch blocks only; each step DMAs the contiguous (bB, L, 3D) qkv slab,
@@ -820,8 +833,7 @@ def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
         out_shape=jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
         interpret=interpret,
         cost_estimate=cost,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _default_cparams(grid),
     )(qkv, qkv, qkv, kmask)
     return out
 
@@ -913,8 +925,7 @@ def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
         out_shape=[jax.ShapeDtypeStruct((B, L, D), qkv.dtype) for _ in range(3)],
         interpret=interpret,
         cost_estimate=cost,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+        compiler_params=None if interpret else _default_cparams(grid),
     )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
