@@ -122,8 +122,9 @@ def forward_intermediates(
                 ),
             )
         if new_cfg is not cfg:
-            model = type(model)(cfg=new_cfg, dtype=model.dtype,
-                                remat=model.remat)
+            # clone() keeps every other module attribute (CoCa's
+            # multimodal_layers/caption_queries etc.) intact
+            model = model.clone(cfg=new_cfg)
 
     if image is not None:
         feats, mut = model.apply(

@@ -108,3 +108,21 @@ def test_unsupported_towers_raise():
     # the ViT side still works on a gene-tower model
     out = b.forward_intermediates(image=images, intermediates_only=True)
     assert len(out["image_intermediates"]) == 2
+
+
+def test_coca_forward_intermediates():
+    """CoCa exposes the same forward_intermediates surface (ref:
+    coca_model.py:169-268) — towers share the sown-block contract."""
+    b = create_model("coca_ViT-Test", precision="fp32", seed=0)
+    rng = np.random.default_rng(0)
+    v = b.cfg.vision_cfg
+    images = rng.uniform(0, 1, (2, v.image_size, v.image_size, 3)).astype(np.float32)
+    text = rng.integers(1, b.cfg.text_cfg.vocab_size - 2,
+                        (2, b.cfg.text_cfg.context_length)).astype(np.int32)
+    out = b.forward_intermediates(image=images, text=text,
+                                  image_output_fmt="NLC",
+                                  intermediates_only=True, stop_early=True,
+                                  image_indices=[0], text_indices=[0])
+    assert len(out["image_intermediates"]) == 1
+    assert len(out["text_intermediates"]) == 1
+    assert out["image_intermediates"][0].shape[0] == 2
