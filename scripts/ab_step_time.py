@@ -40,8 +40,9 @@ def build(arm: str, batch: int, model: str):
     # arms without explicit suffixes get the module defaults (reset between
     # builds so earlier arms' overrides don't leak)
     if not hasattr(build, "_cap_defaults"):
-        build._cap_defaults = (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP)
-    fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP = build._cap_defaults
+        build._cap_defaults = (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP,
+                               fa.GROUP_LANES)
+    fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP, fa.GROUP_LANES = build._cap_defaults
 
     # '^pack'/'^nopack' pin the packed head-pair variant per arm
     if "^pack" in name:
@@ -99,6 +100,11 @@ def build(arm: str, batch: int, model: str):
     m = _re.search(r"\^bwd(\d+)", name)
     if m:
         fa.BWD_BLOCK_CAP = int(m.group(1))
+        name = name.replace(m.group(0), "")
+    # '^lanesN' pins the head-group lane width (fewer, fatter grid steps)
+    m = _re.search(r"\^lanes(\d+)", name)
+    if m:
+        fa.GROUP_LANES = int(m.group(1))
         name = name.replace(m.group(0), "")
     # '~fast'/'~safe' pin the softmax variant per arm (read at trace time);
     # bare arms keep the module default

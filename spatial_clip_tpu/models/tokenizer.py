@@ -68,11 +68,13 @@ def whitespace_clean(text: str) -> str:
 
 
 def canonicalize_text(text: str) -> str:
-    """big_vision prompt canonicalization (ref tokenizer.py:104-129):
-    underscore->space, punctuation strip, lowercase, whitespace collapse."""
-    text = text.replace("_", " ")
-    text = text.translate(str.maketrans("", "", string.punctuation))
-    return whitespace_clean(text).lower()
+    """The open_clip 'lower' clean used by SimpleTokenizer (ref
+    tokenizer.py:79-81 _clean_lower): HTML-unescape, whitespace collapse,
+    lowercase. NOTE: the big_vision punctuation-stripping canonicalization
+    (ref tokenizer.py:104-129) is ``SigLipTokenizer.canonicalize`` — it must
+    NOT be applied here or byte-BPE bit parity breaks
+    (tests/test_torch_parity.py::test_bpe_bit_parity_vs_reference)."""
+    return whitespace_clean(basic_clean(text)).lower()
 
 
 def _resolve_bpe_path(bpe_path: Optional[str]) -> Optional[Path]:
