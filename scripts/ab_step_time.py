@@ -61,6 +61,15 @@ def build(arm: str, batch: int, model: str):
     elif "^db" in name:
         name = name.replace("^db", "")
         fa.BWD_FUSE = "db"
+    # '^nozip'/'^zip' pin the zipped dual-tower attention path per arm
+    # (models/clip.py encode_pair; config default is 'auto' = zip on TPU)
+    zip_towers = None
+    if "^nozip" in name:
+        name = name.replace("^nozip", "")
+        zip_towers = "off"
+    elif "^zip" in name:
+        name = name.replace("^zip", "")
+        zip_towers = "auto"
     # '^mw' enables master-weights training (bf16 live kernels) per arm
     if "^mw" in name:
         name = name.replace("^mw", "")
@@ -145,8 +154,10 @@ def build(arm: str, batch: int, model: str):
             copts = dict(kv.split("=", 1) for kv in preset.split(";"))
         else:
             copts = _COPTS[preset]
+    extra = {} if zip_towers is None else {"zip_towers": zip_towers}
     bundle = create_model(model, precision="bf16", seed=0, attn_impl=name,
-                          mlp_impl=mlp, ln_impl=ln, ln_gemm_impl=ln_gemm)
+                          mlp_impl=mlp, ln_impl=ln, ln_gemm_impl=ln_gemm,
+                          **extra)
     tr = Trainer(
         bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
         config=TrainerConfig(warmup_steps=10, total_steps=10**5,

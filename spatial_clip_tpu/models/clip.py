@@ -168,6 +168,83 @@ class CLIP(nn.Module):
         else:
             self.logit_bias = None
 
+    def _zip_ready(self) -> bool:
+        """Static (trace-time) eligibility of the zipped dual-tower path.
+
+        zip_towers='auto' zips only when both towers are standard
+        equal-depth transformers whose attention resolves to the Pallas
+        kernel (TPU backend); 'on' forces it (interpret mode off-TPU, for
+        parity tests); 'off' never zips. Any exotic block feature
+        (qk-norm, scaled-cosine, fused-LN, remat) falls back to the
+        sequential towers, which support everything.
+        """
+        z = getattr(self.cfg, "zip_towers", "off")
+        if z == "off" or self.remat:
+            return False
+        v, t = self.cfg.vision_cfg, self.cfg.text_cfg
+        if (
+            v.timm_model_name
+            or isinstance(v.layers, (list, tuple))
+            or self.cfg.gene_cfg is not None
+            or t.hf_config is not None
+            or t.hf_model_name
+        ):
+            return False
+        if v.layers != t.layers:
+            return False
+        if v.qk_norm or v.scaled_cosine or t.qk_norm:
+            return False
+        if self.cfg.ln_gemm_impl != "dense":
+            return False
+        if self.cfg.attn_impl not in ("auto", "pallas"):
+            return False
+        from spatial_clip_tpu.ops import fused_attention as fa
+
+        if not fa.pair_supported(v.heads, v.width, t.heads, t.width):
+            return False
+        if z == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return True
+
+    def encode_pair(
+        self,
+        images: jnp.ndarray,
+        text: jnp.ndarray,
+        normalize: bool = True,
+        deterministic: bool = True,
+    ):
+        """Both towers with layer-i attentions zipped into ONE Pallas call.
+
+        Exact same math as encode_image + encode_text (tests enforce
+        parity); only the custom-call count differs (2 per layer -> 1).
+        See ops/fused_attention.fused_attention_pair for the motivation
+        (per-invocation boundary tax dominates the attention family).
+        """
+        import jax
+
+        from spatial_clip_tpu.ops import fused_attention as fa
+
+        interp = jax.default_backend() != "tpu"
+        xa = self.visual.embed(images, deterministic=deterministic)
+        xb, mask_b = self.text.embed(text)
+        blocks_a = self.visual.transformer.resblocks
+        blocks_b = self.text.transformer.resblocks
+        for ba, bb in zip(blocks_a, blocks_b):
+            qa = ba.attn_qkv(xa)
+            qb = bb.attn_qkv(xb)
+            ca, cb = fa.fused_attention_pair(
+                qa, None, qb, mask_b, ba.heads, bb.heads, interp
+            )
+            xa = ba.attn_finish(xa, ca)
+            xb = bb.attn_finish(xb, cb)
+        img = self.visual.head(xa)
+        txt = self.text.head(xb, text)
+        if normalize:
+            img, txt = l2_normalize(img), l2_normalize(txt)
+        return img, txt
+
     def encode_image(
         self, images: jnp.ndarray, normalize: bool = True, deterministic: bool = True
     ) -> jnp.ndarray:
@@ -187,11 +264,20 @@ class CLIP(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         out: Dict[str, jnp.ndarray] = {}
-        if images is not None:
+        if images is not None and text is not None and self._zip_ready():
+            out["image_features"], out["text_features"] = self.encode_pair(
+                images, text, deterministic=deterministic
+            )
+        elif images is not None and text is not None:
             out["image_features"] = self.encode_image(
                 images, deterministic=deterministic
             )
-        if text is not None:
+            out["text_features"] = self.encode_text(text, deterministic=deterministic)
+        elif images is not None:
+            out["image_features"] = self.encode_image(
+                images, deterministic=deterministic
+            )
+        elif text is not None:
             out["text_features"] = self.encode_text(text, deterministic=deterministic)
         out["logit_scale"] = jnp.exp(self.logit_scale)
         if self.logit_bias is not None:

@@ -139,6 +139,13 @@ class CLIPCfg:
     # is slow on CPU). Other values: einsum | einsum_bf16 | fold | fold_bf16 |
     # xla (fused dot_product_attention) | pallas (force the kernel).
     attn_impl: str = "auto"
+    # Zipped dual-tower attention: run image layer-i and text layer-i
+    # attention in ONE Pallas custom call (halves the per-step custom-call
+    # count; ops/fused_attention.fused_attention_pair). auto = zip when both
+    # towers are standard equal-depth transformers and the Pallas kernel is
+    # active (TPU); on = force (interpret-mode off-TPU, for tests);
+    # off = always separate calls.
+    zip_towers: str = "auto"
     mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
     # dense | pallas — fuse each block's pre-LN into its qkv/fc projection
     # (ops/fused_ln_dense; targets the profiled convert_reduce LN family)

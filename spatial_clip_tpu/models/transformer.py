@@ -52,6 +52,19 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _apply_dense(kernel, bias, x, dtype):
+    """nn.Dense-equivalent application of explicit (kernel, bias) params:
+    promote everything to ``dtype`` then one dot + bias add (honors the
+    DENSE_2D experiment knob exactly like :func:`_dense`)."""
+    k = kernel.astype(dtype)
+    b = bias.astype(dtype)
+    if DENSE_2D and x.ndim > 2:
+        shape = x.shape
+        y = x.reshape(-1, shape[-1]).astype(dtype) @ k + b
+        return y.reshape(shape[:-1] + (k.shape[1],))
+    return x.astype(dtype) @ k + b
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics regardless of compute dtype.
 
@@ -295,12 +308,42 @@ class MultiHeadAttention(nn.Module):
     qk_norm: bool = False  # ref: transformer.py:98,126 — LN over head_dim
     scaled_cosine: bool = False  # ref: transformer.py:99,134 — cosine attn
 
-    @nn.compact
+    def setup(self):
+        # setup-based (not @nn.compact) so the zipped dual-tower path can
+        # drive project_qkv/out_proj as separate stages around ONE shared
+        # attention custom call per layer pair (see CLIP.encode_pair).
+        # Param tree is identical to the historical compact version: the
+        # "qkv"/"out" scopes come from these attribute names, and
+        # _DenseParams shares nn.Dense's kernel/bias layout + inits.
+        assert not (self.qk_norm and self.scaled_cosine)
+        self.qkv = _DenseParams(self.width, 3 * self.width)
+        self.out = _DenseParams(self.width, self.width)
+        if self.qk_norm:
+            self.ln_q = LayerNorm(dtype=self.dtype)
+            self.ln_k = LayerNorm(dtype=self.dtype)
+        if self.scaled_cosine:
+            self.logit_scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(jnp.log(10.0)),
+                (self.heads, 1, 1),
+                jnp.float32,
+            )
+
+    def project_qkv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The fused qkv projection alone (zip-path stage 1)."""
+        kernel, bias = self.qkv()
+        return _apply_dense(kernel, bias, x, self.dtype)
+
+    def out_proj(self, ctx: jnp.ndarray) -> jnp.ndarray:
+        """The output projection alone (zip-path stage 3)."""
+        kernel, bias = self.out()
+        return _apply_dense(kernel, bias, ctx, self.dtype)
+
     def __call__(
         self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None, ln=None
     ) -> jnp.ndarray:
-        assert not (self.qk_norm and self.scaled_cosine)
         B, L, D = x.shape
+        assert D == self.width, (D, self.width)
         head_dim = self.width // self.heads
         impl = self.impl
         if impl == "auto":
@@ -334,7 +377,7 @@ class MultiHeadAttention(nn.Module):
             mask2d = None
             if attn_mask is not None:
                 mask2d = attn_mask.reshape(attn_mask.shape[-2:])
-            kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+            kernel, bias = self.qkv()
             interleaved = impl == "pallas_inter"
             if interleaved:
                 perm = tuple(fa.interleave_perm(self.heads, head_dim))
@@ -347,7 +390,7 @@ class MultiHeadAttention(nn.Module):
                 scale_p, bias_p, kernel, bias, eps, interp,
             ).reshape(B, L, 3 * self.width)
             ctx = fa.fused_attention(qkv, mask2d, self.heads, interp, interleaved)
-            return _dense(self.width, self.dtype, "out", ctx)
+            return self.out_proj(ctx)
         if impl == "pallas_inter":
             # Interleaved-layout fused attention: the qkv projection weight's
             # columns are statically permuted so each head group's q|k|v
@@ -369,7 +412,7 @@ class MultiHeadAttention(nn.Module):
                 else:
                     ok = False
             if ok:
-                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                kernel, bias = self.qkv()
                 perm = tuple(fa.interleave_perm(self.heads, head_dim))
                 inv = fa.inverse_perm(perm)
                 qkv_i = (
@@ -380,7 +423,7 @@ class MultiHeadAttention(nn.Module):
                     qkv_i, mask2d, self.heads,
                     jax.default_backend() != "tpu", True,
                 )
-                return _dense(self.width, self.dtype, "out", ctx)
+                return self.out_proj(ctx)
             impl = "einsum"
         if impl == "pallas_t":
             # Transposed-input fused attention: the kernel consumes the
@@ -401,13 +444,13 @@ class MultiHeadAttention(nn.Module):
                 else:
                     ok = False
             if ok:
-                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                kernel, bias = self.qkv()
                 qkv_nb = x.astype(self.dtype) @ kernel.astype(self.dtype)
                 ctx = fa.fused_attention_t(
                     qkv_nb, bias[None].astype(self.dtype), mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return _dense(self.width, self.dtype, "out", ctx)
+                return self.out_proj(ctx)
             impl = "einsum"
         if impl == "pallas3":
             # Projection-fused attention (ops/fused_attention.qkv_attention):
@@ -429,14 +472,14 @@ class MultiHeadAttention(nn.Module):
                 else:
                     ok = False
             if ok:
-                kernel, bias = _DenseParams(D, 3 * self.width, name="qkv")()
+                kernel, bias = self.qkv()
                 ctx = fa.qkv_attention(
                     x.astype(self.dtype), kernel, bias, mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return _dense(self.width, self.dtype, "out", ctx)
+                return self.out_proj(ctx)
             impl = "einsum"
-        qkv = _dense(3 * self.width, self.dtype, "qkv", x)
+        qkv = self.project_qkv(x)
         if impl == "pallas":
             # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM
             # output, head-splitting via BlockSpec index maps — no 4D
@@ -460,7 +503,7 @@ class MultiHeadAttention(nn.Module):
                     qkv, mask2d, self.heads,
                     jax.default_backend() != "tpu",
                 )
-                return _dense(self.width, self.dtype, "out", ctx)
+                return self.out_proj(ctx)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):
@@ -468,26 +511,20 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         if self.qk_norm:
-            q = LayerNorm(dtype=self.dtype, name="ln_q")(q)
-            k = LayerNorm(dtype=self.dtype, name="ln_k")(k)
+            q = self.ln_q(q)
+            k = self.ln_k(k)
         if self.scaled_cosine:
             # cosine attention with learnable per-head temperature
             q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(self.dtype)
             k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(self.dtype)
-            logit_scale = self.param(
-                "logit_scale",
-                nn.initializers.constant(jnp.log(10.0)),
-                (self.heads, 1, 1),
-                jnp.float32,
-            )
-            scale_per_head = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
+            scale_per_head = jnp.exp(jnp.minimum(self.logit_scale, jnp.log(100.0)))
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             attn = attn * scale_per_head[None]
             if attn_mask is not None:
                 attn = attn + attn_mask.astype(jnp.float32)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
-            return _dense(self.width, self.dtype, "out", out)
+            return self.out_proj(out)
         if impl == "xla":
             bias = None
             if attn_mask is not None:
@@ -507,7 +544,7 @@ class MultiHeadAttention(nn.Module):
                 attn = attn + attn_mask.astype(acc)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.width)
-        return _dense(self.width, self.dtype, "out", out)
+        return self.out_proj(out)
 
     def _fold_attention(
         self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray]
@@ -528,8 +565,8 @@ class MultiHeadAttention(nn.Module):
         B, L, D = x.shape
         H = self.heads
         hd = self.width // H
-        qkv_k, qkv_b = _DenseParams(D, 3 * self.width, name="qkv")()
-        out_k, out_b = _DenseParams(self.width, self.width, name="out")()
+        qkv_k, qkv_b = self.qkv()
+        out_k, out_b = self.out()
         w = qkv_k.reshape(D, 3, H, hd).astype(self.dtype)
         b = qkv_b.reshape(3, H, hd).astype(self.dtype)
         # (3, B, H, L, hd) straight out of one dot_general; the t/h axes are
@@ -567,51 +604,78 @@ class ResidualBlock(nn.Module):
     # ln_1->qkv and ln_2->fc; identical param tree, ops/fused_ln_dense)
     ln_gemm_impl: str = "dense"
 
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
-        def scaled(y, name):
-            if self.ls_init_value is None:
-                return y
-            gamma = self.param(
-                name, nn.initializers.constant(self.ls_init_value), (self.width,),
-                jnp.float32,
-            )
-            return y * gamma.astype(self.dtype)
+    def _fuse_ln(self) -> bool:
+        # ln_stats='pallas' routes through ops/fused_ln instead
+        return (self.ln_gemm_impl == "pallas"
+                and self.ln_stats in ("fp32", "onepass"))
 
-        fuse_ln = (
-            self.ln_gemm_impl == "pallas"
-            and self.ln_stats in ("fp32", "onepass")
-        )  # ln_stats='pallas' routes through ops/fused_ln instead
-        attn = MultiHeadAttention(
+    def setup(self):
+        # setup-based so CLIP.encode_pair can stage attn_qkv/attn_finish
+        # around ONE dual-tower attention call. Scope names (attn/ln_1/ln_2/
+        # mlp/ls_1/ls_2) match the historical compact version exactly.
+        if self._fuse_ln():
+            self.ln_1 = _LNParams(self.width)
+            self.ln_2 = _LNParams(self.width)
+        else:
+            self.ln_1 = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                                  stats_dtype=self.ln_stats)
+            self.ln_2 = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                                  stats_dtype=self.ln_stats)
+        self.attn = MultiHeadAttention(
             width=self.width, heads=self.heads, dtype=self.dtype,
             impl=self.attn_impl, qk_norm=self.qk_norm,
-            scaled_cosine=self.scaled_cosine, name="attn",
+            scaled_cosine=self.scaled_cosine,
         )
-        if fuse_ln:
-            s1, b1 = _LNParams(self.width, name="ln_1")()
-            h = attn(x, attn_mask, ln=(s1, b1, self.norm_eps))
-        else:
-            h = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
-                          stats_dtype=self.ln_stats, name="ln_1")(x)
-            h = attn(h, attn_mask)
-        x = x + scaled(h, "ls_1")
-        mlp = MLP(
+        self.mlp = MLP(
             width=self.width,
             hidden=int(self.width * self.mlp_ratio),
             dtype=self.dtype,
             act=self.act,
             impl=self.mlp_impl,
-            name="mlp",
         )
-        if fuse_ln:
-            s2, b2 = _LNParams(self.width, name="ln_2")()
-            h = mlp(x, ln=(s2, b2, self.norm_eps))
+        if self.ls_init_value is not None:
+            self.ls_1 = self.param(
+                "ls_1", nn.initializers.constant(self.ls_init_value),
+                (self.width,), jnp.float32,
+            )
+            self.ls_2 = self.param(
+                "ls_2", nn.initializers.constant(self.ls_init_value),
+                (self.width,), jnp.float32,
+            )
         else:
-            h = mlp(LayerNorm(eps=self.norm_eps, dtype=self.dtype,
-                              stats_dtype=self.ln_stats, name="ln_2")(x))
-        x = x + scaled(h, "ls_2")
+            self.ls_1 = None
+            self.ls_2 = None
+
+    def _scaled(self, y, gamma):
+        return y if gamma is None else y * gamma.astype(self.dtype)
+
+    def attn_qkv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Zip-path stage 1: pre-LN + fused qkv projection. Caller (the
+        zipped dual-tower driver) guarantees a standard block: no qk-norm /
+        scaled-cosine / fused-LN."""
+        return self.attn.project_qkv(self.ln_1(x))
+
+    def attn_finish(self, x: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+        """Zip-path stage 2: out projection + residual + MLP half."""
+        x = x + self._scaled(self.attn.out_proj(ctx), self.ls_1)
+        h = self.mlp(self.ln_2(x))
+        return x + self._scaled(h, self.ls_2)
+
+    def __call__(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        if self._fuse_ln():
+            s1, b1 = self.ln_1()
+            h = self.attn(x, attn_mask, ln=(s1, b1, self.norm_eps))
+        else:
+            h = self.attn(self.ln_1(x), attn_mask)
+        x = x + self._scaled(h, self.ls_1)
+        if self._fuse_ln():
+            s2, b2 = self.ln_2()
+            h = self.mlp(x, ln=(s2, b2, self.norm_eps))
+        else:
+            h = self.mlp(self.ln_2(x))
+        x = x + self._scaled(h, self.ls_2)
         return x
 
 
@@ -635,10 +699,7 @@ class Transformer(nn.Module):
     ln_stats: str = "fp32"
     ln_gemm_impl: str = "dense"
 
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
+    def setup(self):
         block_cls = ResidualBlock
         if self.remat:
             policy = (
@@ -647,8 +708,10 @@ class Transformer(nn.Module):
                 else None
             )
             block_cls = nn.remat(ResidualBlock, static_argnums=(), policy=policy)
-        for i in range(self.layers):
-            x = block_cls(
+        # list attribute => flax scopes resblocks_0..resblocks_{n-1}, the
+        # same names the compact version assigned explicitly
+        self.resblocks = [
+            block_cls(
                 width=self.width,
                 heads=self.heads,
                 mlp_ratio=self.mlp_ratio,
@@ -662,8 +725,15 @@ class Transformer(nn.Module):
                 scaled_cosine=self.scaled_cosine,
                 ln_stats=self.ln_stats,
                 ln_gemm_impl=self.ln_gemm_impl,
-                name=f"resblocks_{i}",
-            )(x, attn_mask)
+            )
+            for _ in range(self.layers)
+        ]
+
+    def __call__(
+        self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        for i, block in enumerate(self.resblocks):
+            x = block(x, attn_mask)
             # expose per-block tokens for probing / forward_intermediates
             # (ref: model.py forward_intermediates, utils.feature_take_indices);
             # retrieved via apply(..., mutable=['intermediates'])
@@ -829,60 +899,44 @@ class VisionTransformer(nn.Module):
             return x[:, 0], x[:, 1:]
         return x.mean(axis=1), x  # 'none' fallback: caller handles tokens
 
-    @nn.compact
-    def __call__(
-        self, images: jnp.ndarray, deterministic: bool = True
-    ):
-        """images: (B, H, W, 3) float in model input space (NHWC, TPU-native)."""
-        B = images.shape[0]
+    def setup(self):
+        # setup-based (scope names unchanged) so CLIP.encode_pair can run
+        # embed -> zipped blocks -> head with the text tower in lockstep.
         if self.patchify_impl == "reshape":
-            x = PatchEmbed(
+            self.conv1 = PatchEmbed(
                 patch_size=self.patch_size,
                 width=self.width,
                 dtype=self.dtype,
-                name="conv1",
-            )(images)
+            )
         else:
-            x = nn.Conv(
+            self.conv1 = nn.Conv(
                 self.width,
                 kernel_size=(self.patch_size, self.patch_size),
                 strides=(self.patch_size, self.patch_size),
                 use_bias=False,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
-                name="conv1",
-            )(images.astype(self.dtype))
-            x = x.reshape(B, -1, self.width)  # (B, grid*grid, width)
-        n_patches = x.shape[1]
-
-        cls = self.param(
-            "class_embedding", nn.initializers.normal(self.width ** -0.5), (self.width,),
-            jnp.float32,
+            )
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(self.width ** -0.5),
+            (self.width,), jnp.float32,
         )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype), x],
-            axis=1,
-        )
-        if self.pos_embed_type == "sin_cos_2d":
-            g = int(n_patches ** 0.5)
-            pe_grid = sincos_2d_pos_embed(self.width, g, g)
-            pos = jnp.concatenate([jnp.zeros((1, self.width)), pe_grid], axis=0)
-        else:
-            pos = self.param(
+        if self.pos_embed_type != "sin_cos_2d":
+            size = (self.image_size if isinstance(self.image_size, int)
+                    else self.image_size[0])
+            n_patches = (size // self.patch_size) ** 2
+            self.positional_embedding = self.param(
                 "positional_embedding",
                 nn.initializers.normal(self.width ** -0.5),
                 (n_patches + 1, self.width),
                 jnp.float32,
             )
-        x = x + pos[None].astype(self.dtype)
-
         if self.patch_dropout > 0:
-            x = PatchDropout(prob=self.patch_dropout, name="patch_drop")(
-                x, deterministic=deterministic
-            )
+            self.patch_drop = PatchDropout(prob=self.patch_dropout)
         if not self.no_ln_pre:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_pre")(x)
-        x = Transformer(
+            self.ln_pre = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                                    stats_dtype=self.ln_stats)
+        self.transformer = Transformer(
             width=self.width,
             layers=self.layers,
             heads=self.heads,
@@ -898,36 +952,74 @@ class VisionTransformer(nn.Module):
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             ln_stats=self.ln_stats,
-            name="transformer",
-        )(x)
-
+        )
         if self.attentional_pool:
-            x = AttentionalPooler(
+            self.attn_pool = AttentionalPooler(
                 d_model=self.width,
                 context_dim=self.width,
                 heads=self.attn_pooler_heads,
                 n_queries=self.attn_pooler_queries,
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
-                name="attn_pool",
-            )(x)
-            pooled, tokens = x[:, 0], x[:, 1:]
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(pooled)
-        elif self.final_ln_after_pool:
-            pooled, tokens = self._pool(x)
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(pooled)
-        else:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_post")(x)
-            pooled, tokens = self._pool(x)
-
-        proj = self.param(
+            )
+        self.ln_post = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                                 stats_dtype=self.ln_stats)
+        self.proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5),
             (self.width, self.output_dim), jnp.float32,
         )
-        pooled = pooled @ proj.astype(self.dtype)
+
+    def embed(self, images: jnp.ndarray, deterministic: bool = True):
+        """Patchify + cls/pos embed + patch dropout + pre-LN (pre-blocks)."""
+        B = images.shape[0]
+        if self.patchify_impl == "reshape":
+            x = self.conv1(images)
+        else:
+            x = self.conv1(images.astype(self.dtype))
+            x = x.reshape(B, -1, self.width)  # (B, grid*grid, width)
+        n_patches = x.shape[1]
+        cls = self.class_embedding
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype), x],
+            axis=1,
+        )
+        if self.pos_embed_type == "sin_cos_2d":
+            g = int(n_patches ** 0.5)
+            pe_grid = sincos_2d_pos_embed(self.width, g, g)
+            pos = jnp.concatenate([jnp.zeros((1, self.width)), pe_grid], axis=0)
+        else:
+            pos = self.positional_embedding
+        x = x + pos[None].astype(self.dtype)
+        if self.patch_dropout > 0:
+            x = self.patch_drop(x, deterministic=deterministic)
+        if not self.no_ln_pre:
+            x = self.ln_pre(x)
+        return x
+
+    def head(self, x: jnp.ndarray):
+        """Pool + final LN + projection (post-blocks)."""
+        if self.attentional_pool:
+            x = self.attn_pool(x)
+            pooled, tokens = x[:, 0], x[:, 1:]
+            pooled = self.ln_post(pooled)
+        elif self.final_ln_after_pool:
+            pooled, tokens = self._pool(x)
+            pooled = self.ln_post(pooled)
+        else:
+            x = self.ln_post(x)
+            pooled, tokens = self._pool(x)
+        pooled = pooled @ self.proj.astype(self.dtype)
         if self.output_tokens:
             return pooled, tokens
         return pooled
+
+    def __call__(
+        self, images: jnp.ndarray, deterministic: bool = True
+    ):
+        """images: (B, H, W, 3) float in model input space (NHWC, TPU-native)."""
+        x = self.embed(images, deterministic=deterministic)
+        x = self.transformer(x)
+        return self.head(x)
 
 
 def text_global_pool(
@@ -975,37 +1067,23 @@ class TextTransformer(nn.Module):
     ln_stats: str = "fp32"
     ln_gemm_impl: str = "dense"
 
-    @nn.compact
-    def __call__(self, text: jnp.ndarray, deterministic: bool = True):
-        """text: (B, context_length) int32 token ids."""
-        B, L = text.shape
-        tok_emb = nn.Embed(
-            self.vocab_size, self.width, dtype=self.dtype, param_dtype=jnp.float32,
-            name="token_embedding",
+    def setup(self):
+        # setup-based (scope names unchanged) for the zipped dual-tower path.
+        self.token_embedding = nn.Embed(
+            self.vocab_size, self.width, dtype=self.dtype,
+            param_dtype=jnp.float32,
         )
-        x = tok_emb(text)
-        seq_len = L
+        seq_len = self.context_length + (1 if self.embed_cls else 0)
         if self.embed_cls:
-            cls = self.param(
-                "cls_emb", nn.initializers.normal(0.01), (self.width,), jnp.float32
+            self.cls_emb = self.param(
+                "cls_emb", nn.initializers.normal(0.01), (self.width,),
+                jnp.float32,
             )
-            x = jnp.concatenate(
-                [x, jnp.broadcast_to(cls[None, None], (B, 1, self.width)).astype(self.dtype)],
-                axis=1,
-            )
-            seq_len += 1
-        pos = self.param(
+        self.positional_embedding = self.param(
             "positional_embedding", nn.initializers.normal(0.01),
             (seq_len, self.width), jnp.float32,
         )
-        x = x + pos[None].astype(self.dtype)
-
-        attn_mask = None
-        if not self.no_causal_mask:
-            neg = jnp.finfo(jnp.float32).min
-            causal = jnp.triu(jnp.full((seq_len, seq_len), neg), k=1)
-            attn_mask = causal[None, None]
-        x = Transformer(
+        self.transformer = Transformer(
             width=self.width,
             layers=self.layers,
             heads=self.heads,
@@ -1021,31 +1099,63 @@ class TextTransformer(nn.Module):
             qk_norm=self.qk_norm,
             scaled_cosine=self.scaled_cosine,
             ln_stats=self.ln_stats,
-            name="transformer",
-        )(x, attn_mask)
-
-        if self.embed_cls:
-            pooled = x[:, -1]
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(pooled)
-        elif self.final_ln_after_pool:
-            pooled = text_global_pool(x, text, self.pool_type)
-            pooled = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(pooled)
-        else:
-            x = LayerNorm(eps=self.norm_eps, dtype=self.dtype, stats_dtype=self.ln_stats, name="ln_final")(x)
-            pooled = text_global_pool(x, text, self.pool_type)
-
+        )
+        self.ln_final = LayerNorm(eps=self.norm_eps, dtype=self.dtype,
+                                  stats_dtype=self.ln_stats)
         if self.proj_bias:
-            pooled = nn.Dense(
+            self.text_projection = nn.Dense(
                 self.output_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                name="text_projection",
-            )(pooled)
+            )
         else:
-            proj = self.param(
+            self.text_projection = self.param(
                 "text_projection", nn.initializers.normal(self.width ** -0.5),
                 (self.width, self.output_dim), jnp.float32,
             )
-            pooled = pooled @ proj.astype(self.dtype)
+
+    def embed(self, text: jnp.ndarray):
+        """Token + positional embedding; returns (x, 2D additive causal mask
+        or None)."""
+        B, L = text.shape
+        x = self.token_embedding(text)
+        seq_len = L
+        if self.embed_cls:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(self.cls_emb[None, None],
+                                     (B, 1, self.width)).astype(self.dtype)],
+                axis=1,
+            )
+            seq_len += 1
+        x = x + self.positional_embedding[None].astype(self.dtype)
+        attn_mask = None
+        if not self.no_causal_mask:
+            neg = jnp.finfo(jnp.float32).min
+            attn_mask = jnp.triu(jnp.full((seq_len, seq_len), neg), k=1)
+        return x, attn_mask
+
+    def head(self, x: jnp.ndarray, text: jnp.ndarray):
+        """Final LN + pool + projection."""
+        if self.embed_cls:
+            pooled = x[:, -1]
+            pooled = self.ln_final(pooled)
+        elif self.final_ln_after_pool:
+            pooled = text_global_pool(x, text, self.pool_type)
+            pooled = self.ln_final(pooled)
+        else:
+            x = self.ln_final(x)
+            pooled = text_global_pool(x, text, self.pool_type)
+        if self.proj_bias:
+            pooled = self.text_projection(pooled)
+        else:
+            pooled = pooled @ self.text_projection.astype(self.dtype)
         return pooled
+
+    def __call__(self, text: jnp.ndarray, deterministic: bool = True):
+        """text: (B, context_length) int32 token ids."""
+        x, attn_mask = self.embed(text)
+        if attn_mask is not None:
+            attn_mask = attn_mask[None, None]
+        x = self.transformer(x, attn_mask)
+        return self.head(x, text)
 
 
 class GeneMLPTower(nn.Module):
