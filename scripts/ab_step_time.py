@@ -90,6 +90,13 @@ def build(arm: str, batch: int, model: str):
     if "^light" in name:
         name = name.replace("^light", "")
         step_metrics = "light"
+    # '^scanN' runs N real optimizer steps per dispatched program
+    # (TrainerConfig.scan_steps; batch gets a leading (N,) dim)
+    scan_steps = 1
+    m = __import__("re").search(r"\^scan(\d+)", name)
+    if m:
+        scan_steps = int(m.group(1))
+        name = name.replace(m.group(0), "")
     # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     import spatial_clip_tpu.models.transformer as _tf
 
@@ -165,7 +172,8 @@ def build(arm: str, batch: int, model: str):
                              color_jitter=0.2 if augment else None,
                              log_every=10**9,
                              master_weights=master, compiler_options=copts,
-                             step_metrics=step_metrics),
+                             step_metrics=step_metrics,
+                             scan_steps=scan_steps),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()
@@ -174,15 +182,24 @@ def build(arm: str, batch: int, model: str):
     B = batch
     tid = np.arange(B, dtype=np.int32)
     size = bundle.cfg.vision_cfg.image_size
-    db = tr._device_batch({
-        "images": rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8),
-        "texts": rng.integers(0, bundle.cfg.text_cfg.vocab_size,
-                              (B, bundle.cfg.text_cfg.context_length)).astype(np.int32),
-        "image_tile_ids": tid, "text_tile_ids": tid,
-        "neighbor_tile_ids": rng.integers(-1, B, (B, 6)).astype(np.int32),
-        "neighbor_alphas": rng.uniform(0, 1, (B, 6)).astype(np.float32),
-    })
-    return step, state, db, B
+
+    def one_batch():
+        return {
+            "images": rng.integers(0, 255, (B, size, size, 3), dtype=np.uint8),
+            "texts": rng.integers(0, bundle.cfg.text_cfg.vocab_size,
+                                  (B, bundle.cfg.text_cfg.context_length)).astype(np.int32),
+            "image_tile_ids": tid, "text_tile_ids": tid,
+            "neighbor_tile_ids": rng.integers(-1, B, (B, 6)).astype(np.int32),
+            "neighbor_alphas": rng.uniform(0, 1, (B, 6)).astype(np.float32),
+        }
+
+    if scan_steps > 1:
+        stacked = next(Trainer._group_batches(
+            (one_batch() for _ in range(scan_steps)), scan_steps))
+        db = tr._device_batch(stacked, stacked=True)
+    else:
+        db = tr._device_batch(one_batch())
+    return step, state, db, B, scan_steps
 
 
 def main():
@@ -199,14 +216,15 @@ def main():
     for arm in args.arms:
         print(f"building + compiling arm {arm} ...", flush=True)
         t0 = time.perf_counter()
-        step, state, db, B = build(arm, args.batch, args.model)
+        step, state, db, B, mult = build(arm, args.batch, args.model)
         # warmup = first executions (compile happens here on the tunnel)
         for _ in range(3):
             state, m = step(state, db)
         loss0 = float(np.asarray(m["loss"]))
         print(f"  compiled+warm in {time.perf_counter()-t0:.0f}s loss={loss0:.3f}",
               flush=True)
-        arms[arm] = dict(step=step, state=state, db=db, B=B, times=[])
+        arms[arm] = dict(step=step, state=state, db=db, B=B, mult=mult,
+                         times=[])
 
     for r in range(args.rounds):
         for arm, a in arms.items():
@@ -217,8 +235,9 @@ def main():
             float(np.asarray(m["loss"]))  # value-fetch barrier
             dt = time.perf_counter() - t0
             a["state"] = state
-            a["times"].append(dt / args.chunk)
-            print(f"round {r} {arm}: {1e3*dt/args.chunk:.2f} ms/step", flush=True)
+            n_steps = args.chunk * a["mult"]
+            a["times"].append(dt / n_steps)
+            print(f"round {r} {arm}: {1e3*dt/n_steps:.2f} ms/step", flush=True)
 
     result = {}
     for arm, a in arms.items():

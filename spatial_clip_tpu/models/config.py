@@ -144,8 +144,11 @@ class CLIPCfg:
     # count; ops/fused_attention.fused_attention_pair). auto = zip when both
     # towers are standard equal-depth transformers and the Pallas kernel is
     # active (TPU); on = force (interpret-mode off-TPU, for tests);
-    # off = always separate calls.
-    zip_towers: str = "auto"
+    # off = always separate calls. Default OFF: measured +1.0 ms/step on the
+    # parity config (reports/ab_zip_r3.json) — the merged call creates a
+    # per-layer cross-tower join, costing XLA more pipelining freedom than
+    # the halved invocation count saves (docs/experiments.md round 3).
+    zip_towers: str = "off"
     mlp_impl: str = "dense"  # dense | pallas (experimental fused MLP kernel)
     # dense | pallas — fuse each block's pre-LN into its qkv/fc projection
     # (ops/fused_ln_dense; targets the profiled convert_reduce LN family)

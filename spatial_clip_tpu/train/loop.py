@@ -115,6 +115,13 @@ class TrainerConfig:
     # Per-jit XLA compiler overrides for the train/eval steps (e.g.
     # {"xla_tpu_scoped_vmem_limit_kib": "65536"}); None = backend defaults.
     compiler_options: Optional[Dict[str, str]] = None
+    # Steps per dispatched program: >1 wraps the train step in a
+    # lax.scan over a stacked batch (leading dim = scan_steps), executing
+    # that many REAL optimizer steps (per-step rng/LR/step-count, exact
+    # math) in one XLA program. Amortizes the per-program launch overhead
+    # of the runtime; the fit loop stacks loader batches to feed it.
+    # Returned step metrics are the last inner step's.
+    scan_steps: int = 1
     extra: Dict[str, Any] = dfield(default_factory=dict)
 
 
@@ -194,6 +201,7 @@ class Trainer:
             if self.mesh.shape.get("replica", 1) > 1
             else "data"
         )
+        self._batch_axes = batch_axes
         self._batch_sh = NamedSharding(self.mesh, P(batch_axes))
         # tensor parallelism: with a >1-sized 'model' mesh axis the params
         # (and, via propagation, the optimizer moments) are sharded per
@@ -448,14 +456,29 @@ class Trainer:
             return new_state, step_metrics
 
         copts = self.cfg.compiler_options
+        n_scan = max(1, cfg.scan_steps)
+        batch_sh = self._batch_sh
+        if n_scan > 1:
+            # k real optimizer steps per dispatched program (exact math:
+            # per-step rng split / LR / step counter); batch leaves carry a
+            # leading (scan_steps,) dim, replicated across the mesh
+            inner = step_fn
+            axes = (self._batch_axes if isinstance(self._batch_axes, tuple)
+                    else (self._batch_axes,))
+            batch_sh = NamedSharding(self.mesh, P(None, *axes))
+
+            def step_fn(state, batches):  # noqa: F811
+                state, ms = jax.lax.scan(inner, state, batches)
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
         if self._tp:
             # params/moments arrive TP-sharded; let GSPMD propagate instead
             # of forcing replication
-            return jax.jit(step_fn, in_shardings=(None, self._batch_sh),
+            return jax.jit(step_fn, in_shardings=(None, batch_sh),
                            donate_argnums=(0,), compiler_options=copts)
         return jax.jit(
             step_fn,
-            in_shardings=(self._repl, self._batch_sh),
+            in_shardings=(self._repl, batch_sh),
             out_shardings=(self._repl, self._repl),
             donate_argnums=(0,),
             compiler_options=copts,
@@ -480,13 +503,39 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------- fit
-    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    def _device_batch(
+        self, batch: Dict[str, Any], stacked: bool = False
+    ) -> Dict[str, jnp.ndarray]:
         arrs = {
             k: v
             for k, v in batch.items()
             if isinstance(v, np.ndarray) and k != "raw_text"
         }
+        if stacked:
+            # scan_steps-stacked batches: leading (scan_steps,) dim is
+            # replicated; the per-step batch dim shards as usual
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = (self._batch_axes if isinstance(self._batch_axes, tuple)
+                    else (self._batch_axes,))
+            return jax.device_put(
+                arrs, NamedSharding(self.mesh, P(None, *axes))
+            )
         return jax.device_put(arrs, self._batch_sh)
+
+    @staticmethod
+    def _group_batches(it, n):
+        """Group n consecutive host batches into one stacked batch for the
+        scan-of-steps train step (incomplete tail groups are dropped —
+        webdataset-style epoch-boundary semantics)."""
+        group = []
+        for b in it:
+            group.append(b)
+            if len(group) == n:
+                keys = [k for k, v in group[0].items()
+                        if isinstance(v, np.ndarray) and k != "raw_text"]
+                yield {k: np.stack([g[k] for g in group]) for k in keys}
+                group = []
 
     def fit(
         self,
@@ -529,11 +578,15 @@ class Trainer:
             t_data = t_step = 0.0
             n_samples = 0
             t0 = time.perf_counter()
-            for i, batch in enumerate(train_iter_factory()):
-                if steps_per_epoch is not None and i >= steps_per_epoch:
+            n_scan = max(1, self.cfg.scan_steps)
+            train_it = train_iter_factory()
+            if n_scan > 1:
+                train_it = self._group_batches(train_it, n_scan)
+            for i, batch in enumerate(train_it):
+                if steps_per_epoch is not None and i * n_scan >= steps_per_epoch:
                     break
-                bsz = len(batch["images"])
-                dbatch = self._device_batch(batch)
+                bsz = int(np.prod(batch["images"].shape[: 1 + (n_scan > 1)]))
+                dbatch = self._device_batch(batch, stacked=n_scan > 1)
                 t1 = time.perf_counter()
                 state, metrics = self._train_step(state, dbatch)
                 step_no = int(state.step)

@@ -233,3 +233,62 @@ def test_master_weights_step_parity(rng):
 
     live_leaves = [l for l in jax.tree_util.tree_leaves(st1.live) if l.ndim >= 2]
     assert all(l.dtype == jnp.bfloat16 for l in live_leaves)
+
+
+def test_scan_steps_equals_sequential(tiny_bundle):
+    """scan_steps=k (k real optimizer steps per dispatched program,
+    TrainerConfig.scan_steps) must produce the SAME final state as k
+    sequential single-step calls on the same batches — exact semantics,
+    only the program-launch count differs."""
+    import jax
+
+    def mk(scan):
+        cfg = TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=20,
+            augment=False, log_every=100, seed=7, scan_steps=scan,
+        )
+        return Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+
+    factory = _make_data(n=24, batch=8)
+    batches = list(factory())[:3]
+
+    tr1 = mk(1)
+    step1 = tr1.make_train_step()
+    state = tr1.init_state()
+    for b in batches:
+        state, m_seq = step1(state, tr1._device_batch(b))
+
+    tr3 = mk(3)
+    step3 = tr3.make_train_step()
+    state3 = tr3.init_state()
+    stacked = next(Trainer._group_batches(iter(batches), 3))
+    state3, m_scan = step3(state3, tr3._device_batch(stacked, stacked=True))
+
+    assert int(state3.step) == int(state.step) == 3
+    np.testing.assert_allclose(
+        float(m_scan["loss"]), float(m_seq["loss"]), rtol=1e-5
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(state3.params),
+    ):
+        assert pa == pb
+        # atol 3e-5: scan vs unrolled compile to different fusion
+        # schedules, so fp32 rounding differs in the last ulps; a real
+        # semantic divergence would show at the update scale (~1e-3)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5, err_msg=str(pa)
+        )
+
+
+def test_scan_steps_fit_loop(tiny_bundle):
+    """fit() groups loader batches for scan_steps and counts real steps."""
+    cfg = TrainerConfig(
+        learning_rate=1e-3, warmup_steps=1, total_steps=20,
+        augment=False, log_every=1, scan_steps=2,
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    factory = _make_data(n=32, batch=8)
+    state, metrics = tr.fit(factory, None, epochs=1, steps_per_epoch=4)
+    assert int(state.step) == 4  # 2 groups x 2 scanned steps
+    assert np.isfinite(metrics["loss"])
