@@ -42,6 +42,9 @@ def main():
     # short async bursts; long runs are queue-limited and honest
     steps = int(os.environ.get("BENCH_STEPS", "60"))
     warmup = int(os.environ.get("BENCH_WARMUP", "8"))
+    # real optimizer steps per dispatched program (TrainerConfig.scan_steps;
+    # exact per-step math, fewer program launches)
+    scan = int(os.environ.get("BENCH_SCAN", "8"))
     k = 6  # neighbor graph degree (ref: configs k_neighbors=6)
 
     n_dev = len(jax.devices())
@@ -54,6 +57,7 @@ def main():
         color_jitter=0.2,
         log_every=10_000,
         seed=0,
+        scan_steps=scan,
     )
     trainer = Trainer(
         bundle,
@@ -83,21 +87,30 @@ def main():
         "neighbor_tile_ids": rng.integers(-1, B, (B, k)).astype(np.int32),
         "neighbor_alphas": rng.uniform(0, 1, (B, k)).astype(np.float32),
     }
-    dbatch = trainer._device_batch(host_batch)
+    if scan > 1:
+        from spatial_clip_tpu.train.loop import Trainer as _T
+
+        stacked = next(_T._group_batches(
+            (host_batch for _ in range(scan)), scan))
+        dbatch = trainer._device_batch(stacked, stacked=True)
+    else:
+        dbatch = trainer._device_batch(host_batch)
 
     # NOTE: the only reliable completion barrier on the remote-tunnel runtime
     # is an actual device->host VALUE fetch (block_until_ready can return
     # before execution finishes there), so sync via float(np.asarray(...)).
-    for _ in range(warmup):
+    for _ in range(max(1, warmup // scan)):
         state, metrics = step(state, dbatch)
     float(np.asarray(metrics["loss"]))
 
+    n_calls = max(1, steps // scan)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(n_calls):
         state, metrics = step(state, dbatch)
     final_loss = float(np.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
+    steps = n_calls * scan
     pairs_per_sec = B * steps / dt
     per_chip = pairs_per_sec / n_dev
     print(
