@@ -90,6 +90,11 @@ def build(arm: str, batch: int, model: str):
     if "^light" in name:
         name = name.replace("^light", "")
         step_metrics = "light"
+    # '^nu' stores the Adam second moment in bf16 (scale_by_adam_nd)
+    nu = None
+    if "^nu" in name:
+        name = name.replace("^nu", "")
+        nu = "bf16"
     # '^scanN' runs N real optimizer steps per dispatched program
     # (TrainerConfig.scan_steps; batch gets a leading (N,) dim)
     scan_steps = 1
@@ -173,7 +178,7 @@ def build(arm: str, batch: int, model: str):
                              log_every=10**9,
                              master_weights=master, compiler_options=copts,
                              step_metrics=step_metrics,
-                             scan_steps=scan_steps),
+                             scan_steps=scan_steps, nu_dtype=nu),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()

@@ -80,6 +80,11 @@ class TrainerConfig:
     # match fp32-m within seed noise in both directions. Set None for the
     # reference's exact fp32 optimizer state.
     mu_dtype: Optional[str] = "bf16"
+    # Optional reduced-precision Adam second moment (scale_by_adam_nd).
+    # None (default) keeps optax.adamw's fp32 nu; 'bf16' halves the v
+    # read+write HBM traffic — enable only with its quality gate (see
+    # docs/experiments.md round 3).
+    nu_dtype: Optional[str] = None
     schedule: str = "cosine"
     warmup_steps: int = 500
     total_steps: int = 10_000
@@ -177,6 +182,7 @@ class Trainer:
             opt=self.cfg.opt,
             momentum=self.cfg.momentum,
             mu_dtype=self.cfg.mu_dtype,
+            nu_dtype=self.cfg.nu_dtype,
             schedule_name=self.cfg.schedule,
             warmup_steps=self.cfg.warmup_steps,
             total_steps=self.cfg.total_steps,

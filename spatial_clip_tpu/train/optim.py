@@ -150,6 +150,63 @@ def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _moment_dtype(name: Optional[str]):
+    return jnp.bfloat16 if name in ("bf16", "bfloat16") else None
+
+
+def scale_by_adam_nd(
+    b1: float, b2: float, eps: float,
+    mu_dtype=None, nu_dtype=None,
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with an independent second-moment dtype.
+
+    Exact Adam math (all arithmetic in fp32; bias correction via
+    count_inc like optax); moments are merely STORED in ``mu_dtype`` /
+    ``nu_dtype``. With both None this is bit-compatible with
+    ``optax.scale_by_adam`` (tests enforce it). ``nu_dtype='bf16'``
+    halves the second-moment HBM read+write in the fused optimizer pass —
+    v >= 0 uses only bf16's exponent+7-bit mantissa, perturbing
+    1/(sqrt(v)+eps) by <=0.4%, far below gradient noise (quality-gated
+    like mu_dtype; reports/ab_mu.json methodology)."""
+
+    def init(params):
+        def zeros(dt):
+            return jax.tree.map(
+                lambda p: jnp.zeros(p.shape, dt or p.dtype), params
+            )
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(mu_dtype),
+            nu=zeros(nu_dtype),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count_inc = optax.safe_int32_increment(state.count)
+
+        def new_mu(g, m):
+            return b1 * m.astype(jnp.float32) + (1 - b1) * g.astype(jnp.float32)
+
+        def new_nu(g, v):
+            g32 = g.astype(jnp.float32)
+            return b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+
+        mu32 = jax.tree.map(new_mu, updates, state.mu)
+        nu32 = jax.tree.map(new_nu, updates, state.nu)
+        bc1 = 1 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1 - b2 ** count_inc.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32
+        )
+        cast = lambda t, dt: (jax.tree.map(lambda x: x.astype(dt), t)
+                              if dt is not None else t)
+        return out, optax.ScaleByAdamState(
+            count=count_inc, mu=cast(mu32, mu_dtype), nu=cast(nu32, nu_dtype)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     params,
     learning_rate: float = 5e-4,
@@ -164,6 +221,7 @@ def make_optimizer(
     opt: str = "adamw",
     momentum: Optional[float] = None,
     mu_dtype: Optional[str] = None,
+    nu_dtype: Optional[str] = None,
     **schedule_kwargs,
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """Optimizer + global-norm clipping + schedule, with the reference's
@@ -181,20 +239,34 @@ def make_optimizer(
         chain.append(clip_by_global_norm_f32(grad_clip_norm))
     opt = (opt or "adamw").lower()
     if opt in ("adamw", "adam"):
-        chain.append(
-            optax.adamw(
-                learning_rate=schedule,
-                b1=betas[0],
-                b2=betas[1],
-                eps=eps,
-                weight_decay=weight_decay,
-                mask=decay_mask(params),
-                # optional bf16 first moment: halves the m read+write in the
-                # fused optimizer pass (~0.7 ms/step on ViT-B); fp32 default
-                # keeps reference AMP semantics
-                mu_dtype=jnp.bfloat16 if mu_dtype in ("bf16", "bfloat16") else None,
+        if nu_dtype is not None:
+            # custom Adam core with reduced-precision second moment
+            # (optax.adamw has no nu_dtype); same chain as optax.adamw:
+            # scale_by_adam -> masked decay -> lr
+            chain.extend([
+                scale_by_adam_nd(
+                    betas[0], betas[1], eps,
+                    mu_dtype=_moment_dtype(mu_dtype),
+                    nu_dtype=_moment_dtype(nu_dtype),
+                ),
+                optax.add_decayed_weights(weight_decay, decay_mask(params)),
+                optax.scale_by_learning_rate(schedule),
+            ])
+        else:
+            chain.append(
+                optax.adamw(
+                    learning_rate=schedule,
+                    b1=betas[0],
+                    b2=betas[1],
+                    eps=eps,
+                    weight_decay=weight_decay,
+                    mask=decay_mask(params),
+                    # optional bf16 first moment: halves the m read+write in
+                    # the fused optimizer pass (~0.7 ms/step on ViT-B); fp32
+                    # default keeps reference AMP semantics
+                    mu_dtype=_moment_dtype(mu_dtype),
+                )
             )
-        )
     elif opt == "sgd":
         if weight_decay:
             chain.append(

@@ -292,3 +292,62 @@ def test_scan_steps_fit_loop(tiny_bundle):
     state, metrics = tr.fit(factory, None, epochs=1, steps_per_epoch=4)
     assert int(state.step) == 4  # 2 groups x 2 scanned steps
     assert np.isfinite(metrics["loss"])
+
+
+def test_scale_by_adam_nd_matches_optax():
+    """The custom Adam core (train/optim.scale_by_adam_nd — exists to add a
+    second-moment storage dtype optax lacks) must match optax.adamw exactly
+    at fp32, and stay close with bf16 moments."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spatial_clip_tpu.train.optim import decay_mask, scale_by_adam_nd
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((16, 8)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((8,)), jnp.float32),
+    }
+    b1, b2, eps, wd, lr = 0.9, 0.98, 1e-6, 0.2, 1e-3
+    ref_tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd,
+                         mask=decay_mask(params))
+    nd_tx = optax.chain(
+        scale_by_adam_nd(b1, b2, eps),
+        optax.add_decayed_weights(wd, decay_mask(params)),
+        optax.scale_by_learning_rate(lr),
+    )
+    bf_tx = optax.chain(
+        scale_by_adam_nd(b1, b2, eps, mu_dtype=jnp.bfloat16,
+                         nu_dtype=jnp.bfloat16),
+        optax.add_decayed_weights(wd, decay_mask(params)),
+        optax.scale_by_learning_rate(lr),
+    )
+
+    p_ref, s_ref = dict(params), ref_tx.init(params)
+    p_nd, s_nd = dict(params), nd_tx.init(params)
+    p_bf, s_bf = dict(params), bf_tx.init(params)
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).standard_normal(p.shape), jnp.float32
+            ) * 0.1,
+            params,
+        )
+        u, s_ref = ref_tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        u, s_nd = nd_tx.update(g, s_nd, p_nd)
+        p_nd = optax.apply_updates(p_nd, u)
+        u, s_bf = bf_tx.update(g, s_bf, p_bf)
+        p_bf = optax.apply_updates(p_bf, u)
+
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_nd[k]), np.asarray(p_ref[k]), atol=1e-7,
+            err_msg=f"fp32 nd vs optax: {k}",
+        )
+        # bf16 moments: small relative drift only
+        np.testing.assert_allclose(
+            np.asarray(p_bf[k]), np.asarray(p_ref[k]), rtol=2e-2, atol=2e-4,
+            err_msg=f"bf16 moments vs optax: {k}",
+        )
