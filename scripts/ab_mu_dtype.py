@@ -22,7 +22,8 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np  # noqa: E402
 
 
-def run_arm(mu_dtype, steps: int, batch: int, seed: int = 0) -> dict:
+def run_arm(mu_dtype, steps: int, batch: int, seed: int = 0,
+            moment: str = "mu") -> dict:
     from spatial_clip_tpu import create_model
     from spatial_clip_tpu.data.datamodule import DataLoader
     from spatial_clip_tpu.data.datasets import SyntheticSpatialDataset
@@ -53,7 +54,11 @@ def run_arm(mu_dtype, steps: int, batch: int, seed: int = 0) -> dict:
         config=TrainerConfig(
             learning_rate=1e-3, warmup_steps=max(steps // 10, 1),
             total_steps=steps, augment=True, color_jitter=0.2,
-            log_every=10**9, seed=seed, mu_dtype=mu_dtype,
+            log_every=10**9, seed=seed,
+            # gate either moment's storage dtype; the other keeps the
+            # shipped default
+            **({"mu_dtype": mu_dtype} if moment == "mu"
+               else {"nu_dtype": mu_dtype}),
         ),
     )
     loader = DataLoader(train_ds, batch_size=batch, shuffle=True, seed=seed)
@@ -76,7 +81,7 @@ def run_arm(mu_dtype, steps: int, batch: int, seed: int = 0) -> dict:
     val = trainer.evaluate(state, DataLoader(val_ds, batch_size=batch,
                                              shuffle=False))
     return {
-        "mu_dtype": mu_dtype or "fp32",
+        f"{moment}_dtype": mu_dtype or "fp32",
         "steps": steps,
         "train_loss_curve": losses,
         "val": {k: round(float(v), 4) for k, v in val.items()},
@@ -90,11 +95,14 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--out", type=Path, default=Path("reports/ab_mu.json"))
+    ap.add_argument("--moment", choices=("mu", "nu"), default="mu")
     args = ap.parse_args(argv)
     results = []
     for seed in range(args.seeds):
-        results.append(run_arm(None, args.steps, args.batch, seed=seed))
-        results.append(run_arm("bf16", args.steps, args.batch, seed=seed))
+        results.append(run_arm(None, args.steps, args.batch, seed=seed,
+                               moment=args.moment))
+        results.append(run_arm("bf16", args.steps, args.batch, seed=seed,
+                               moment=args.moment))
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))
