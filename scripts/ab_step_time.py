@@ -41,8 +41,9 @@ def build(arm: str, batch: int, model: str):
     # builds so earlier arms' overrides don't leak)
     if not hasattr(build, "_cap_defaults"):
         build._cap_defaults = (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP,
-                               fa.GROUP_LANES)
-    fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP, fa.GROUP_LANES = build._cap_defaults
+                               fa.GROUP_LANES, fa.VMEM_LIMIT_BYTES)
+    (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP, fa.GROUP_LANES,
+     fa.VMEM_LIMIT_BYTES) = build._cap_defaults
 
     # '^pack'/'^nopack' pin the packed head-pair variant per arm
     if "^pack" in name:
@@ -126,6 +127,12 @@ def build(arm: str, batch: int, model: str):
     m = _re.search(r"\^lanes(\d+)", name)
     if m:
         fa.GROUP_LANES = int(m.group(1))
+        name = name.replace(m.group(0), "")
+    # '^vmN' pins the per-kernel Mosaic VMEM budget to N MiB (chip has 128;
+    # big block x lane combinations need >64)
+    m = _re.search(r"\^vm(\d+)", name)
+    if m:
+        fa.VMEM_LIMIT_BYTES = int(m.group(1)) * 2 ** 20
         name = name.replace(m.group(0), "")
     # '~fast'/'~safe' pin the softmax variant per arm (read at trace time);
     # bare arms keep the module default

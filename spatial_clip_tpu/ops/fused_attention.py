@@ -406,15 +406,41 @@ def _bwd_kernel3_dx(q_ref, k_ref, v_ref, mask_ref, do_ref, wq_ref, wk_ref,
 # set fits 16MB VMEM at 32 rows with double buffering; the bwd kernel holds
 # ~2.5x the intermediates so it defaults lower.
 FWD_BLOCK_CAP = 32
-# 32-row backward blocks measure -0.6 ms/step vs 16 (reports/
-# ab_caps_r2.json) once the scoped-VMEM budget below unlocks them (the
-# 16 MB platform default OOM'd at 32 by 1.5M).
-BWD_BLOCK_CAP = 32
+# Backward batch-block cap. None = shape-aware default: 64 rows for short
+# sequences (L <= 128; -0.34 ms/step on the parity config,
+# reports/ab_micro_r3.json) and the proven 32 for long ones (64-row blocks
+# at ViT-L's L=257 would blow the per-kernel VMEM budget below). Set an
+# int to override everywhere (A/B arm '^bwdN').
+BWD_BLOCK_CAP = None
+# Head-group lane width (multiple of 128). None = shape-aware default:
+# 256 lanes (fatter groups, half the grid steps; -0.23 ms/step,
+# reports/ab_micro_r3.json) for L <= 128, 128 for long sequences. Set an
+# int to override (A/B arm '^lanesN'). supported() always checks with the
+# conservative 128 — any geometry it accepts is feasible at either width
+# (heads_per_block halves hpb until it divides heads).
+GROUP_LANES = None
+_SHORT_SEQ = 128
+
+
+def _bwd_cap(L: int) -> int:
+    if BWD_BLOCK_CAP:
+        return BWD_BLOCK_CAP
+    return 64 if L <= _SHORT_SEQ else 32
+
+
+def _lanes_for(L: int) -> int:
+    if GROUP_LANES:
+        return GROUP_LANES
+    return 256 if L <= _SHORT_SEQ else 128
+
+
 # Scoped-VMEM budget handed to Mosaic per kernel. The platform default
 # (16 MB) rejects batch blocks >32 rows by ~0.8 MB; v5e has 128 MB of VMEM,
 # so a larger scoped budget unlocks bigger blocks (fewer grid steps, less
-# per-step overhead) — tuned via scripts/bench_attn_kernel.py.
-VMEM_LIMIT_BYTES = 64 * 2 ** 20
+# per-step overhead) — tuned via scripts/bench_attn_kernel.py. 100 MB:
+# the 64-row x 256-lane backward blocks need 73 MB on the parity text
+# tower (reports/ab_combo2_r3.json campaign).
+VMEM_LIMIT_BYTES = 100 * 2 ** 20
 
 # Mark the default fwd/bwd kernels' grid dims (batch block x head group) as
 # "parallel" for Mosaic — every grid step reads/writes disjoint blocks, so
@@ -592,15 +618,12 @@ def _pick_block_b(B: int, cap: int = 32) -> int:
     return 1
 
 
-# lanes per head group (multiple of 128). 256 halves the grid steps at 2x
-# VMEM per step — tunable via the kernel microbench.
-GROUP_LANES = 128
-
-
 def heads_per_block(heads: int, head_dim: int, lanes: int = None):
     """Lane-group size satisfying Mosaic's 128-divisibility; None if the
-    shape can't be grouped (caller should fall back to the XLA path)."""
-    lanes = lanes or GROUP_LANES
+    shape can't be grouped (caller should fall back to the XLA path).
+    ``lanes=None`` = the conservative 128 (used by supported(); _geometry
+    passes the shape-aware width from _lanes_for)."""
+    lanes = lanes or 128
     if head_dim >= 128:
         return 1 if head_dim % 128 == 0 else None
     if 128 % head_dim != 0:
@@ -777,12 +800,14 @@ def fused_attention(qkv, mask, heads: int, interpret: bool = False,
     return _get_fwd_cp()(qkv, mask, heads, interpret, interleaved)
 
 
-def _geometry(qkv, heads, block_cap=32):
+def _geometry(qkv, heads, block_cap=32, lanes=None):
     B, L, three_d = qkv.shape
     D = three_d // 3
     hd = D // heads
     assert heads * hd == D and 3 * D == three_d
-    hpb = heads_per_block(heads, hd)
+    # interleaved layouts pin lanes=128: interleave_perm bakes the
+    # conservative hpb into the weight permutation
+    hpb = heads_per_block(heads, hd, lanes or _lanes_for(L))
     assert hpb is not None, (
         f"unsupported head geometry heads={heads} head_dim={hd}; guard with "
         "fused_attention.supported()"
@@ -797,7 +822,8 @@ def _geometry(qkv, heads, block_cap=32):
 def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
     if KERNEL_VARIANT == "slab" and not interleaved:
         return _fwd_pallas_slab(qkv, mask, heads, interpret)
-    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, FWD_BLOCK_CAP)
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, FWD_BLOCK_CAP, lanes=128 if interleaved else None)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
@@ -884,7 +910,9 @@ def _attn_bwd(heads, interpret, interleaved, res, g):
 def _bwd_pallas(qkv, mask, g, heads, interpret, interleaved=False):
     if KERNEL_VARIANT == "slab" and not interleaved:
         return _bwd_pallas_slab(qkv, mask, g, heads, interpret)
-    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(qkv, heads, BWD_BLOCK_CAP)
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, _bwd_cap(qkv.shape[1]),
+        lanes=128 if interleaved else None)
     scale = hd ** -0.5
     blk = (block_b, L, lanes)
     cost = pl.CostEstimate(
@@ -936,7 +964,7 @@ def _bwd_pallas3(qkv, mask, g, heads, interpret):
     (3, bB, L, lanes) block. Consumed by :func:`qkv_attention`'s projection
     backward, which contracts this layout directly (no (B,L,3D) concat)."""
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
-        qkv, heads, BWD_BLOCK_CAP
+        qkv, heads, _bwd_cap(qkv.shape[1])
     )
     scale = hd ** -0.5
     blk = (block_b, L, lanes)
@@ -1007,7 +1035,7 @@ def _bwd_pallas3_dx(qkv, mask, g, w, heads, interpret):
     (accumulated in f32); db_raw is (n_groups, 3, lanes) f32 — reassemble
     with ``db_raw.transpose(1, 0, 2).reshape(3*D)``."""
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
-        qkv, heads, BWD_BLOCK_CAP
+        qkv, heads, _bwd_cap(qkv.shape[1])
     )
     din = w.shape[0]
     scale = hd ** -0.5
@@ -1172,7 +1200,7 @@ def _get_bwd3db_cp():
 def _bwd_pallas3_db(qkv, mask, g, heads, interpret):
     """(d3, db_raw) backward: d3 plus the in-kernel bias-grad reduce."""
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
-        qkv, heads, BWD_BLOCK_CAP
+        qkv, heads, _bwd_cap(qkv.shape[1])
     )
     scale = hd ** -0.5
     blk = (block_b, L, lanes)
@@ -1477,7 +1505,7 @@ def _fwd_pallas_t(qkv_t, bias, mask, heads, interpret):
 
 def _bwd_pallas_t(qkv_t, bias, mask, g, heads, interpret):
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry_t(
-        qkv_t, heads, BWD_BLOCK_CAP
+        qkv_t, heads, _bwd_cap(qkv_t.shape[0])
     )
     scale = hd ** -0.5
     kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
@@ -1800,7 +1828,8 @@ def _pair_fwd_impl(qkv_a, mask_a, qkv_b, mask_b, heads_a, heads_b, interpret):
 
 def _pair_bwd_impl(qkv_a, mask_a, g_a, qkv_b, mask_b, g_b,
                    heads_a, heads_b, interpret):
-    ga, gb = _pair_geoms(qkv_a, heads_a, qkv_b, heads_b, BWD_BLOCK_CAP)
+    ga, gb = _pair_geoms(qkv_a, heads_a, qkv_b, heads_b,
+                        max(_bwd_cap(qkv_a.shape[1]), _bwd_cap(qkv_b.shape[1])))
     B, La, Da, hd_a, hpb_a, lanes_a, Ga, block_b, _ = ga
     _, Lb, Db, hd_b, hpb_b, lanes_b, Gb, _, _ = gb
     grid = (B // block_b, Ga + Gb)

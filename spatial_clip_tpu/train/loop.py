@@ -80,11 +80,13 @@ class TrainerConfig:
     # match fp32-m within seed noise in both directions. Set None for the
     # reference's exact fp32 optimizer state.
     mu_dtype: Optional[str] = "bf16"
-    # Optional reduced-precision Adam second moment (scale_by_adam_nd).
-    # None (default) keeps optax.adamw's fp32 nu; 'bf16' halves the v
-    # read+write HBM traffic — enable only with its quality gate (see
-    # docs/experiments.md round 3).
-    nu_dtype: Optional[str] = None
+    # Reduced-precision Adam second moment (scale_by_adam_nd). 'bf16'
+    # (default) halves the v read+write HBM traffic (-1.0 ms/step at ViT-B
+    # scale, reports/ab_micro_r3.json) — quality-gated like mu_dtype
+    # (reports/ab_nu.json: 2 seeds x 400 steps, loss/R@1 deltas in both
+    # directions within seed noise). Set None for optax.adamw's exact fp32
+    # optimizer state.
+    nu_dtype: Optional[str] = "bf16"
     schedule: str = "cosine"
     warmup_steps: int = 500
     total_steps: int = 10_000
