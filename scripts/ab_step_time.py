@@ -96,6 +96,11 @@ def build(arm: str, batch: int, model: str):
     if "^nu" in name:
         name = name.replace("^nu", "")
         nu = "bf16"
+    # '^gbf' materializes gradients in bf16 (TrainerConfig.grad_dtype)
+    gdt = None
+    if "^gbf" in name:
+        name = name.replace("^gbf", "")
+        gdt = "bf16"
     # '^scanN' runs N real optimizer steps per dispatched program
     # (TrainerConfig.scan_steps; batch gets a leading (N,) dim)
     scan_steps = 1
@@ -185,7 +190,8 @@ def build(arm: str, batch: int, model: str):
                              log_every=10**9,
                              master_weights=master, compiler_options=copts,
                              step_metrics=step_metrics,
-                             scan_steps=scan_steps, nu_dtype=nu),
+                             scan_steps=scan_steps, nu_dtype=nu,
+                             grad_dtype=gdt),
         mesh=make_mesh(),
     )
     step = tr.make_train_step()

@@ -479,6 +479,39 @@ class MultiHeadAttention(nn.Module):
                 )
                 return self.out_proj(ctx)
             impl = "einsum"
+        if impl == "pallas_split":
+            # Split-projection attention: three slice-GEMMs of the SAME
+            # stored (D, 3D) qkv weight (checkpoint tree unchanged), kernel
+            # consumes q/k/v as separate arrays, and the VJP returns
+            # dq/dk/dv separately — the (B,L,3D) dqkv concat (a
+            # dynamic-update-slice chain in HLO, ~1.6 ms/step at ViT-B)
+            # never exists. See ops/fused_attention.fused_attention_split.
+            from spatial_clip_tpu.ops import fused_attention as fa
+
+            mask2d = None
+            ok = fa.supported(self.heads, self.width) and not (
+                self.qk_norm or self.scaled_cosine
+            )
+            if attn_mask is not None:
+                lead = attn_mask.shape[:-2]
+                if all(s == 1 for s in lead):
+                    mask2d = attn_mask.reshape(attn_mask.shape[-2:])
+                else:
+                    ok = False
+            if ok:
+                kernel, bias = self.qkv()
+                W = self.width
+                parts = [
+                    _apply_dense(kernel[:, t * W:(t + 1) * W],
+                                 bias[t * W:(t + 1) * W], x, self.dtype)
+                    for t in range(3)
+                ]
+                ctx = fa.fused_attention_split(
+                    parts[0], parts[1], parts[2], mask2d, self.heads,
+                    jax.default_backend() != "tpu",
+                )
+                return self.out_proj(ctx)
+            impl = "einsum"
         qkv = self.project_qkv(x)
         if impl == "pallas":
             # Fused Pallas attention: consumes the raw (B,L,3D) qkv GEMM

@@ -1995,3 +1995,208 @@ def _pair_vjp_bwd(heads_a, heads_b, interpret, res, g):
 
 
 fused_attention_pair.defvjp(_pair_vjp_fwd, _pair_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Split-projection attention: q/k/v arrive as three separate (B, L, D)
+# arrays (three slice-GEMMs of the same stored (D, 3D) weight at the model
+# level) and the VJP returns (dq, dk, dv) separately.
+#
+# Motivation (round-3 HLO attribution, scripts/analyze_hlo.py): the fused
+# (B, L, 3D) qkv interface forces the backward to reassemble dqkv with
+# jnp.concatenate — lowered as a chain of dynamic-update-slice fusions
+# (1.6 ms 'constant_dynamic-update-slice' family + part of 'copy_add',
+# a full dqkv read+write per layer) because a custom call's outputs cannot
+# fuse into the concat. With split arrays every kernel output IS the
+# cotangent the per-slice GEMM backward consumes — no concat exists.
+# The kernel body, geometry, packing, and grid are IDENTICAL to the fused
+# interface; only the BlockSpec offsets differ (each operand indexes its
+# own array at lane-block j instead of j / n_groups+j / 2*n_groups+j).
+# Ref analogue: open_clip computes one in_proj GEMM (transformer.py:92);
+# splitting the projection is TPU-layout-motivated, math-identical.
+# ---------------------------------------------------------------------------
+
+
+def _split_specs(block_b, L, lanes, mask_len):
+    blk = (block_b, L, lanes)
+    m = lambda i, j: (i, 0, j)
+    return [
+        pl.BlockSpec(blk, m, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, m, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, m, memory_space=pltpu.VMEM),
+        pl.BlockSpec((mask_len, mask_len), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _split_geometry(q, heads, cap):
+    B, L, D = q.shape
+    hd = D // heads
+    assert heads * hd == D
+    hpb = heads_per_block(heads, hd, _lanes_for(L))
+    assert hpb is not None, (
+        f"unsupported head geometry heads={heads} head_dim={hd}; guard with "
+        "fused_attention.supported()"
+    )
+    lanes = hpb * hd
+    n_groups = heads // hpb
+    block_b = _pick_block_b(B, cap)
+    return B, L, D, hd, hpb, lanes, n_groups, block_b, (B // block_b, n_groups)
+
+
+def _split_fwd_impl(q, k, v, mask, heads, interpret, unused=False):
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _split_geometry(
+        q, heads, FWD_BLOCK_CAP
+    )
+    scale = hd ** -0.5
+    pack = _pack_ok(block_b, L)
+    kmask = mask.astype(jnp.float32)
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    cost = pl.CostEstimate(
+        flops=4 * B * heads * L * L * hd,
+        bytes_accessed=4 * B * L * D * q.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_split_specs(block_b, L, lanes, kmask.shape[0]),
+        out_specs=pl.BlockSpec((block_b, L, lanes), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else _default_cparams(grid),
+    )(q, k, v, kmask)
+
+
+def _split_bwd_impl(q, k, v, mask, g, heads, interpret, unused=False):
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _split_geometry(
+        q, heads, _bwd_cap(q.shape[1])
+    )
+    scale = hd ** -0.5
+    blk = (block_b, L, lanes)
+    pack = _pack_ok(block_b, L)
+    kmask = mask.astype(jnp.float32)
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=8 * B * L * D * q.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_split_specs(block_b, L, lanes, kmask.shape[0])
+        + [pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, L, D), q.dtype)
+                   for _ in range(3)],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else _default_cparams(grid),
+    )(q, k, v, kmask, g.astype(q.dtype))
+
+
+def _split_fwd_infer(heads, interpret, unused, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return NamedSharding(mesh, P(b, None, None))
+
+
+def _split_fwd_partition(heads, interpret, unused, mesh, arg_shapes,
+                         result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    m = NamedSharding(mesh, P(None, None))
+
+    def lower_fn(q, k, v, mask):
+        return _split_fwd_impl(q, k, v, mask, heads, interpret)
+
+    return mesh, lower_fn, s, (s, s, s, m)
+
+
+def _split_bwd_infer(heads, interpret, unused, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    return (s, s, s)
+
+
+def _split_bwd_partition(heads, interpret, unused, mesh, arg_shapes,
+                         result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    m = NamedSharding(mesh, P(None, None))
+
+    def lower_fn(q, k, v, mask, g):
+        return _split_bwd_impl(q, k, v, mask, g, heads, interpret)
+
+    return mesh, lower_fn, (s, s, s), (s, s, s, m, s)
+
+
+_split_fwd_cp = None
+_split_bwd_cp = None
+
+
+def _get_split_fwd_cp():
+    global _split_fwd_cp
+    if _split_fwd_cp is None:
+        _split_fwd_cp = _make_cp(
+            lambda q, k, v, mask, heads, interpret, unused:
+            _split_fwd_impl(q, k, v, mask, heads, interpret, unused),
+            _split_fwd_infer, _split_fwd_partition,
+            "B l d, B l e, B l f, m n -> B l g", 4,
+        )
+    return _split_fwd_cp
+
+
+def _get_split_bwd_cp():
+    global _split_bwd_cp
+    if _split_bwd_cp is None:
+        _split_bwd_cp = _make_cp(
+            lambda q, k, v, mask, g, heads, interpret, unused:
+            _split_bwd_impl(q, k, v, mask, g, heads, interpret, unused),
+            _split_bwd_infer, _split_bwd_partition,
+            "B l d, B l e, B l f, m n, B l g -> B l d2, B l e2, B l f2", 5,
+        )
+    return _split_bwd_cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_split(q, k, v, mask, heads: int, interpret: bool = False):
+    """Attention over separate (B, L, D) q/k/v arrays (no fused-qkv buffer;
+    the VJP returns dq/dk/dv separately — no dqkv concat is ever built).
+    Same math/kernel as :func:`fused_attention`; tests enforce parity."""
+    m = (jnp.zeros((q.shape[1],) * 2, jnp.float32) if mask is None else mask)
+    return _get_split_fwd_cp()(q, k, v, m, heads, interpret, False)
+
+
+def _split_vjp_fwd(q, k, v, mask, heads, interpret):
+    had = mask is not None
+    m = (jnp.zeros((q.shape[1],) * 2, jnp.float32) if mask is None else mask)
+    out = _get_split_fwd_cp()(q, k, v, m, heads, interpret, False)
+    return out, (q, k, v, m, had)
+
+
+def _split_vjp_bwd(heads, interpret, res, g):
+    q, k, v, m, had = res
+    dq, dk, dv = _get_split_bwd_cp()(q, k, v, m, g, heads, interpret, False)
+    dm = jnp.zeros_like(m) if had else None
+    return dq, dk, dv, dm
+
+
+fused_attention_split.defvjp(_split_vjp_fwd, _split_vjp_bwd)

@@ -87,6 +87,12 @@ class TrainerConfig:
     # directions within seed noise). Set None for optax.adamw's exact fp32
     # optimizer state.
     nu_dtype: Optional[str] = "bf16"
+    # Gradient materialization dtype. 'bf16' halves the backward's grad
+    # writes + the optimizer pass's grad reads (the cast fuses into the
+    # grad-producing fusions, so fp32 grads are never materialized). The
+    # batch-sum itself still runs in the MXU's fp32 accumulators — only
+    # the final per-weight value is rounded. None = fp32 (reference).
+    grad_dtype: Optional[str] = None
     schedule: str = "cosine"
     warmup_steps: int = 500
     total_steps: int = 10_000
@@ -396,6 +402,10 @@ class Trainer:
                 (loss, (_, logits)), grads = jax.value_and_grad(
                     compute, has_aux=True
                 )(fwd_params, batch, rng)
+                if cfg.grad_dtype == "bf16":
+                    grads = jax.tree.map(
+                        lambda g: g.astype(jnp.bfloat16), grads
+                    )
             elif cfg.grad_accum_mode == "cached":
                 loss, logits, grads = self._cached_accum_grads(
                     fwd_params, batch, rng, accum

@@ -193,3 +193,91 @@ def test_zip_ready_falls_back_on_exotic_blocks():
                 images=_mk((2, 64, 64, 3)),
                 text=jnp.ones((2, 16), jnp.int32)),
     )._zip_ready()
+
+
+# --- split-projection interface (fused_attention_split) ---------------------
+
+
+@pytest.mark.parametrize("mask", [False, True])
+def test_split_kernel_fwd_bwd_parity(mask):
+    """fused_attention_split (separate q/k/v arrays, separate dq/dk/dv
+    cotangents — no dqkv concat in the backward) must match the reference
+    attention exactly, fwd and grads."""
+    B, L, D, H = 8, 50, 128, 2
+    q = _mk((B, L, D), seed=11)
+    k = _mk((B, L, D), seed=12)
+    v = _mk((B, L, D), seed=13)
+    m = (jnp.triu(jnp.full((L, L), -1e30), 1).astype(jnp.float32)
+         if mask else None)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    ref = fa.reference_attention(qkv, m, H)
+    out = fa.fused_attention_split(q, k, v, m, H, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_split(q, k, v):
+        o = fa.fused_attention_split(q, k, v, m, H, True)
+        return (o * jnp.cos(o)).sum()
+
+    def loss_ref(q, k, v):
+        o = fa.reference_attention(jnp.concatenate([q, k, v], -1), m, H)
+        return (o * jnp.cos(o)).sum()
+
+    gs = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gr):
+        denom = float(jnp.abs(b).max()) + 1e-9
+        assert float(jnp.abs(a - b).max()) / denom < 1e-5
+
+
+def test_split_model_parity_and_param_tree():
+    """attn_impl='pallas_split' reuses the SAME stored (D, 3D) qkv weight
+    (slice-GEMMs) — identical param tree and identical outputs to einsum."""
+    cfg_a = resolve_clip_cfg("ViT-Test", attn_impl="einsum")
+    cfg_b = resolve_clip_cfg("ViT-Test", attn_impl="pallas_split")
+    ma, mb = CLIP(cfg=cfg_a), CLIP(cfg=cfg_b)
+    imgs = _mk((4, 32, 32, 3), scale=1.0, seed=14)
+    txt = jnp.asarray(
+        np.random.default_rng(15).integers(1, 512, (4, 16)), jnp.int32
+    )
+    params = ma.init(jax.random.PRNGKey(0), images=imgs, text=txt)
+    # same tree works for both impls (checkpoint compatibility)
+    oa = ma.apply(params, images=imgs, text=txt)
+    ob = mb.apply(params, images=imgs, text=txt)
+    for kk in ("image_features", "text_features"):
+        np.testing.assert_allclose(
+            np.asarray(ob[kk]), np.asarray(oa[kk]), atol=1e-5
+        )
+
+
+def test_split_kernel_sharded_batch_partitioning():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    B, L, D, H = 16, 9, 128, 2
+    q, k, v = (_mk((B, L, D), seed=s) for s in (21, 22, 23))
+    m = jnp.triu(jnp.full((L, L), -1e30), 1).astype(jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+
+    @jax.jit
+    def fwd(q, k, v):
+        return fa.fused_attention_split(q, k, v, m, H, True)
+
+    out = fwd(qs, ks, vs)
+    ref = fa.reference_attention(jnp.concatenate([q, k, v], -1), m, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    @jax.jit
+    def loss(q, k, v):
+        return (fa.fused_attention_split(q, k, v, m, H, True) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(
+        lambda q, k, v: (
+            fa.reference_attention(jnp.concatenate([q, k, v], -1), m, H) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-3,
+                                   rtol=1e-4)
