@@ -134,6 +134,10 @@ def parse_args(args=None) -> argparse.Namespace:
                    help="constant LR, no warmup/decay (ref: train.py:80)")
     p.add_argument("--accum-freq", type=int, default=1)
     p.add_argument("--accum-mode", choices=["cached", "simple"], default="cached")
+    # TPU-native extra (no ref analogue): real optimizer steps per
+    # dispatched XLA program (TrainerConfig.scan_steps); amortizes the
+    # per-program launch overhead
+    p.add_argument("--scan-steps", type=int, default=1)
     # loss
     p.add_argument("--use-spatial-loss", action="store_true")
     p.add_argument("--local-loss", action="store_true")
@@ -439,6 +443,7 @@ def main(args=None):
         total_steps=total_steps,
         grad_accum=args.accum_freq,
         grad_accum_mode=args.accum_mode,
+        scan_steps=args.scan_steps,
         seed=args.seed,
         log_every=args.log_every_n_steps,
         ckpt_dir=str(out_dir / "checkpoints"),

@@ -100,6 +100,7 @@ def build_trainer(cfg, bundle, total_steps: int, mesh=None):
         total_steps=max(int(total_steps), 1),
         grad_accum=int(tcfg.get("grad_accum", 1)),
         grad_accum_mode=tcfg.get("grad_accum_mode", "cached"),
+        scan_steps=int(tcfg.get("scan_steps", 1)),
         augment=bool(tcfg.get("augment", True)) and aug is not None,
         color_jitter=(aug or {}).get("color_jitter"),
         seed=int(cfg.get("seed", 42)),
