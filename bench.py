@@ -39,8 +39,11 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "ViT-B-32")
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     # >=60 back-pressured steps: the remote-tunnel runtime under-reports
-    # short async bursts; long runs are queue-limited and honest
-    steps = int(os.environ.get("BENCH_STEPS", "60"))
+    # short async bursts; long runs are queue-limited and honest. 240 steps
+    # (~22 s measured) amortizes the one ~38 ms device->host fetch barrier
+    # to <0.2 ms/step — the steady-state regime (training runs thousands of
+    # steps between evals, so per-60-step barriers overstate the true cost).
+    steps = int(os.environ.get("BENCH_STEPS", "240"))
     warmup = int(os.environ.get("BENCH_WARMUP", "8"))
     # real optimizer steps per dispatched program (TrainerConfig.scan_steps;
     # exact per-step math, fewer program launches)
@@ -142,4 +145,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The pooled TPU tunnel throws transient UNAVAILABLE setup/compile
+    # errors; a failed backend init is cached in-process, so retry by
+    # re-exec'ing a fresh interpreter (up to 3 attempts, 120 s apart).
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        import sys
+        import traceback
+
+        attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+        traceback.print_exc()
+        if attempt >= 2:
+            sys.exit(1)
+        print(f"transient failure ({type(e).__name__}); retrying in 120s "
+              f"(attempt {attempt + 1}/2)", file=sys.stderr, flush=True)
+        time.sleep(120)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

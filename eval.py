@@ -21,6 +21,18 @@ CONFIG_DIR = Path(__file__).parent / "configs"
 
 def evaluate(cfg: Dict[str, Any]) -> Dict[str, float]:
     import jax
+
+    # device preset must be applied before any backend use, same as
+    # train.py: the JAX_PLATFORMS env var alone is ignored once
+    # sitecustomize pre-registers the TPU backend
+    tcfg_early = cfg.get("trainer", {})
+    if tcfg_early.get("platform"):
+        jax.config.update("jax_platforms", str(tcfg_early["platform"]))
+        if tcfg_early.get("sim_devices"):
+            jax.config.update(
+                "jax_num_cpu_devices", int(tcfg_early["sim_devices"])
+            )
+
     import numpy as np
 
     from spatial_clip_tpu.train.logging_utils import make_loggers, setup_logging

@@ -227,6 +227,10 @@ def main():
     ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--chunk", type=int, default=10)
+    # equalize REAL steps per value-fetch barrier across arms with different
+    # scan_steps (the ~38 ms fetch amortizes per-barrier; unequal
+    # steps/barrier confounds scan A/Bs — docs/experiments.md round 3)
+    ap.add_argument("--steps-per-barrier", type=int, default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -234,11 +238,24 @@ def main():
     for arm in args.arms:
         print(f"building + compiling arm {arm} ...", flush=True)
         t0 = time.perf_counter()
-        step, state, db, B, mult = build(arm, args.batch, args.model)
-        # warmup = first executions (compile happens here on the tunnel)
-        for _ in range(3):
-            state, m = step(state, db)
-        loss0 = float(np.asarray(m["loss"]))
+        # the pooled tunnel throws transient UNAVAILABLE compile errors —
+        # retry each arm a few times, and skip (not abort) a persistently
+        # failing arm so the rest of the campaign still measures
+        for attempt in range(3):
+            try:
+                step, state, db, B, mult = build(arm, args.batch, args.model)
+                # warmup = first executions (compile happens on the tunnel)
+                for _ in range(3):
+                    state, m = step(state, db)
+                loss0 = float(np.asarray(m["loss"]))
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"  attempt {attempt}: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                time.sleep(60)
+        else:
+            print(f"  arm {arm} SKIPPED after 3 failures", flush=True)
+            continue
         print(f"  compiled+warm in {time.perf_counter()-t0:.0f}s loss={loss0:.3f}",
               flush=True)
         arms[arm] = dict(step=step, state=state, db=db, B=B, mult=mult,
@@ -247,13 +264,15 @@ def main():
     for r in range(args.rounds):
         for arm, a in arms.items():
             state = a["state"]
+            calls = (max(1, args.steps_per_barrier // a["mult"])
+                     if args.steps_per_barrier else args.chunk)
             t0 = time.perf_counter()
-            for _ in range(args.chunk):
+            for _ in range(calls):
                 state, m = a["step"](state, a["db"])
             float(np.asarray(m["loss"]))  # value-fetch barrier
             dt = time.perf_counter() - t0
             a["state"] = state
-            n_steps = args.chunk * a["mult"]
+            n_steps = calls * a["mult"]
             a["times"].append(dt / n_steps)
             print(f"round {r} {arm}: {1e3*dt/n_steps:.2f} ms/step", flush=True)
 

@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="CI sizes: 4 slides x 24 spots, 3 train steps")
     ap.add_argument("--out", default="reports/e2e_rehearsal.json")
+    # in-process platform forcing for the train/eval stages: the env var
+    # alone is IGNORED once sitecustomize registers the axon TPU backend,
+    # and with the tunnel down the subprocess hangs forever (CLAUDE.md)
+    ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
     if args.smoke:
         args.slides, args.spots, args.genes, args.hvgs = 4, 24, 32, 16
@@ -163,7 +167,7 @@ def main():
          "--adata", str(adata_path),
          "--n-top-genes", "16",
          "--report", str(val_report)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, timeout=900,
     )
     assert rc.returncode == 0, rc.stdout + rc.stderr
     report["shard_validation"] = json.loads(val_report.read_text())
@@ -174,7 +178,7 @@ def main():
         [sys.executable, str(REPO / "scripts/compute_gap_statistics.py"),
          "--raw-dir", str(raw), "--patch-size", str(args.tile_size),
          "--out-dir", str(work / "gap_stats")],
-        capture_output=True, text=True,
+        capture_output=True, text=True, timeout=900,
     )
     assert rc.returncode == 0, rc.stdout + rc.stderr
     gap_files = list((work / "gap_stats").glob("*.json"))
@@ -192,6 +196,7 @@ def main():
     env.setdefault("JAX_PLATFORMS", "cpu")
     train_overrides = [
         "experiment=smoke_shards",
+        f"trainer.platform={args.platform}",
         f"data.data_dir={out_dir}",
         "data.batch_size=16",
         "data.k_neighbors=3",
@@ -210,7 +215,7 @@ def main():
     ]
     rc = subprocess.run(
         [sys.executable, str(REPO / "train.py"), *train_overrides],
-        capture_output=True, text=True, env=env, cwd=REPO,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
     assert rc.returncode == 0, rc.stdout[-3000:] + rc.stderr[-3000:]
     results = run_dir / "results.jsonl"
@@ -224,11 +229,11 @@ def main():
     ckpts = run_dir / "checkpoints"
     rc = subprocess.run(
         [sys.executable, str(REPO / "eval.py"),
-         *train_overrides[:10],
+         *train_overrides[:11],
          f"ckpt_path={ckpts}",
          f"paths.output_dir={work / 'eval'}",
          "name=rehearsal_eval"],
-        capture_output=True, text=True, env=env, cwd=REPO,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
     assert rc.returncode == 0, rc.stdout[-3000:] + rc.stderr[-3000:]
     eval_results = work / "eval" / "eval_results.json"
