@@ -87,6 +87,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--workers", type=int, nargs="+", default=[0, 2])
+    ap.add_argument("--worker-type", choices=["thread", "process"],
+                    default="thread")
     ap.add_argument("--out", default="reports/bench_dataloader.json")
     args = ap.parse_args()
 
@@ -123,6 +125,7 @@ def main():
         loader = DataLoader(
             ds, batch_size=args.batch_size, shuffle=True, num_workers=nw,
             collate_fn=collate_spatial, seed=0,
+            worker_type=args.worker_type,
         )
         # warm one epoch (page cache, PIL lazy init), then time
         for _ in loader:

@@ -56,6 +56,10 @@ def parse_args(args=None) -> argparse.Namespace:
     p.add_argument("--csv-caption-key", default="title")
     p.add_argument("--csv-separator", default="\t")
     p.add_argument("--workers", type=int, default=4)
+    # TPU-native extra: thread (zero-copy) vs process (torch-workers
+    # analogue) loader parallelism
+    p.add_argument("--worker-type", choices=["thread", "process"],
+                   default="thread")
     p.add_argument("--use-spatial-dataset", action="store_true")
     p.add_argument("--k-neighbors", type=int, default=6)
     p.add_argument("--train-num-samples", type=int, default=None,
@@ -356,6 +360,7 @@ def main(args=None):
         k_neighbors=args.k_neighbors,
         batch_size=args.batch_size,
         num_workers=args.workers,
+        worker_type=args.worker_type,
         dataset_format=fmt,
         dataset_format_kwargs=format_kwargs,
         splits={"train": args.train_split, "val": args.val_split},

@@ -47,12 +47,30 @@ def collate_spatial(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return batch
 
 
-class DataLoader:
-    """Minimal map-style loader: shuffle, drop-last batching, threaded decode.
+_WORKER_DATASET = None
 
-    ``num_workers`` threads fetch+preprocess items ahead of the consumer
-    (plays the role of torch DataLoader workers; decode is PIL/numpy so
-    threads release the GIL on I/O).
+
+def _init_worker_dataset(dataset):
+    # runs once in each pool process; the dataset pickles its index +
+    # preprocess/tokenizer state and re-reads shard files lazily per item
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_getitem(i: int):
+    return _WORKER_DATASET[i]
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffle, drop-last batching, parallel decode.
+
+    ``num_workers`` workers fetch+preprocess items ahead of the consumer
+    (plays the role of torch DataLoader workers). ``worker_type='thread'``
+    (default) uses a thread pool — cheap, zero-copy, and sufficient where
+    PIL/numpy release the GIL during decode/resize; ``'process'`` uses a
+    process pool (the torch-workers analogue) for hosts where the Python
+    bytes between decode and collate become the bottleneck — each worker
+    deserializes the dataset once at pool startup, items return via pickle.
     """
 
     def __init__(
@@ -66,6 +84,7 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         shard_by_process: bool = True,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -76,6 +95,9 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.shard_by_process = shard_by_process
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
+        self.worker_type = worker_type
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -116,7 +138,19 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[int(i)] for i in b])
             return
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.worker_type == "process":
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool_cm = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_init_worker_dataset,
+                initargs=(self.dataset,),
+            )
+            getitem = _worker_getitem
+        else:
+            pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
+            getitem = self.dataset.__getitem__
+        with pool_cm as pool:
             # flat per-item futures (no nested pool work -> no deadlock);
             # prefetch_batches batches stay in flight while the consumer runs
             pending: List[List] = []
@@ -127,7 +161,7 @@ class DataLoader:
                     b = next(it)
                 except StopIteration:
                     return None
-                return [pool.submit(self.dataset.__getitem__, int(i)) for i in b]
+                return [pool.submit(getitem, int(i)) for i in b]
 
             for _ in range(self.prefetch_batches):
                 futs = submit_next()
@@ -151,6 +185,7 @@ class SpatialClipDataModule:
         batch_size: int = 128,
         num_workers: int = 0,
         pin_memory: bool = False,  # accepted for config parity; no-op in JAX
+        worker_type: str = "thread",
         dataset_format: str = "parquet_v1",
         dataset_format_kwargs: Optional[Dict[str, Any]] = None,
         splits: Optional[Dict[str, Any]] = None,
@@ -160,6 +195,7 @@ class SpatialClipDataModule:
         self.k_neighbors = k_neighbors
         self.batch_size = batch_size
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self.dataset_format = dataset_format
         self.dataset_format_kwargs = dict(dataset_format_kwargs or {})
         default_splits = {"train": "train", "val": "val", "test": None}
@@ -232,6 +268,7 @@ class SpatialClipDataModule:
             shuffle=shuffle,
             drop_last=True,
             num_workers=self.num_workers,
+            worker_type=self.worker_type,
             seed=self.seed,
         )
 

@@ -210,6 +210,21 @@ def test_threaded_loader_matches_sync(tmp_path):
         np.testing.assert_array_equal(a["image_tile_ids"], b["image_tile_ids"])
 
 
+def test_process_loader_matches_sync(tmp_path):
+    """process pool workers (torch-DataLoader analogue): the dataset pickles
+    into each worker once, items return identical to the sync path."""
+    ds = SyntheticSpatialDataset(num_samples=16, image_size=8, k_neighbors=2)
+    from spatial_clip_tpu.data.datamodule import DataLoader
+
+    sync = list(DataLoader(ds, batch_size=4, shuffle=False, num_workers=0))
+    proc = list(DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                           worker_type="process"))
+    assert len(sync) == len(proc)
+    for a, b in zip(sync, proc):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["image_tile_ids"], b["image_tile_ids"])
+
+
 def test_native_tar_indexer_matches_tarfile(tmp_path):
     """C++ indexer (native/tarindex.cpp) must agree with Python tarfile."""
     import tarfile as tf_mod
