@@ -28,3 +28,49 @@ from spatial_clip_tpu.models.factory import (  # noqa: F401
     get_tokenizer,
     list_models,
 )
+from spatial_clip_tpu.openclip_api import (  # noqa: F401
+    CLIP,
+    AugmentationCfg,
+    ClipLoss,
+    CLIPTextCfg,
+    CLIPVisionCfg,
+    CoCa,
+    CoCaLoss,
+    CustomTextCLIP,
+    DistillClipLoss,
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+    SigLipLoss,
+    SimpleTokenizer,
+    SpatialLoss,
+    add_model_config,
+    create_model_from_pretrained,
+    decode,
+    get_model_config,
+    image_transform,
+    list_openai_models,
+    list_pretrained,
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+    load_checkpoint,
+    load_openai_model,
+    push_pretrained_to_hf_hub,
+    push_to_hf_hub,
+    register_model_config,
+    tokenize,
+)
+
+
+def __getattr__(name: str):
+    # lazily forwarded names (ImageNet metadata tables, zero-shot builders)
+    if name in (
+        "IMAGENET_CLASSNAMES",
+        "OPENAI_IMAGENET_TEMPLATES",
+        "SIMPLE_IMAGENET_TEMPLATES",
+        "build_zero_shot_classifier",
+        "build_zero_shot_classifier_legacy",
+    ):
+        from spatial_clip_tpu import openclip_api
+
+        return getattr(openclip_api, name)
+    raise AttributeError(name)

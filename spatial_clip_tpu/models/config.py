@@ -191,9 +191,32 @@ class CLIPCfg:
         )
 
 
+# user-registered configs (ref: factory.py add_model_config) — an overlay
+# consulted before the built-in JSON directory
+_EXTRA_CONFIGS: Dict[str, Dict[str, Any]] = {}
+
+
+def register_model_config(name: str, cfg: Dict[str, Any]) -> None:
+    """Register an architecture config dict under ``name`` (overlay; wins
+    over a built-in of the same name). Ref: src/open_clip/factory.py:62-77
+    add_model_config."""
+    _EXTRA_CONFIGS[name.replace("/", "-")] = dict(cfg)
+
+
+def add_model_config(path) -> None:
+    """Register every ``*.json`` model config under ``path`` (a file or a
+    directory), matching the reference's API (factory.py:62-77)."""
+    p = Path(path)
+    files = [p] if p.suffix == ".json" else sorted(p.glob("*.json"))
+    for f in files:
+        register_model_config(f.stem, json.loads(f.read_text()))
+
+
 def list_model_configs() -> list:
-    """All built-in architecture names (ref: factory.py:56 list_models)."""
-    return sorted(p.stem for p in _CONFIG_DIR.glob("*.json"))
+    """All architecture names, built-in + registered (ref: factory.py:56)."""
+    return sorted(
+        {p.stem for p in _CONFIG_DIR.glob("*.json")} | set(_EXTRA_CONFIGS)
+    )
 
 
 def load_model_config(model_name: str) -> Dict[str, Any]:
@@ -204,6 +227,8 @@ def load_model_config(model_name: str) -> Dict[str, Any]:
     ``open_clip_config.json`` (ref: src/open_clip/factory.py:251-320).
     """
     name = model_name.replace("/", "-")
+    if name in _EXTRA_CONFIGS:
+        return dict(_EXTRA_CONFIGS[name])
     builtin = _CONFIG_DIR / f"{name}.json"
     if builtin.exists():
         return json.loads(builtin.read_text())

@@ -313,7 +313,19 @@ def get_tokenizer(
     if gene_vocab is not None:
         return GeneTokenizer(gene_vocab, context_length=ctx)
     try:
-        return SimpleTokenizer(bpe_path=bpe_path, context_length=ctx)
+        tok = SimpleTokenizer(bpe_path=bpe_path, context_length=ctx)
+        # tiny/test architectures declare a reduced vocab (e.g. ViT-Test's
+        # 512): byte-BPE ids would exceed their embedding table, so only
+        # return the BPE tokenizer when the model's vocab can hold it
+        if cfg.text_cfg.vocab_size and cfg.text_cfg.vocab_size < tok.vocab_size:
+            log.info(
+                "model vocab %d < BPE vocab %d; using HashTokenizer",
+                cfg.text_cfg.vocab_size, tok.vocab_size,
+            )
+            return HashTokenizer(
+                vocab_size=cfg.text_cfg.vocab_size, context_length=ctx
+            )
+        return tok
     except FileNotFoundError:
         log.info("No BPE vocab available; using HashTokenizer fallback")
         return HashTokenizer(vocab_size=cfg.text_cfg.vocab_size, context_length=ctx)

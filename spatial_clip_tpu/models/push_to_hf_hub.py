@@ -66,3 +66,26 @@ def push_to_hf_hub(
             repo_id=repo_id, folder_path=tmp, commit_message=commit_message
         )
     log.info("Pushed to https://huggingface.co/%s", repo_id)
+
+
+def push_pretrained_to_hf_hub(
+    model_name,
+    pretrained: str,
+    repo_id: str,
+    precision: str = "fp32",
+    commit_message: str = "Add model",
+    token: Optional[str] = None,
+    private: bool = False,
+    **kwargs,
+):
+    """Build a pretrained model and push it (ref: push_to_hf_hub.py:156)."""
+    from spatial_clip_tpu.models.factory import create_model
+
+    bundle = create_model(
+        model_name, pretrained=pretrained, precision=precision, **kwargs
+    )
+    push_to_hf_hub(
+        bundle, bundle.params, repo_id,
+        commit_message=commit_message, private=private, token=token,
+    )
+    return bundle

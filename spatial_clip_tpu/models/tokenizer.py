@@ -4,8 +4,9 @@ The reference uses a byte-level BPE ``SimpleTokenizer`` over the OpenAI CLIP
 vocab (ref: src/open_clip/tokenizer.py:133-269, ``tokenize`` :276). We provide:
 
 - ``SimpleTokenizer``: a from-scratch byte-BPE implementation. The merges
-  file (``bpe_simple_vocab_16e6.txt.gz``) is a public asset NOT bundled here;
-  pass ``bpe_path=`` or set ``$SPATIAL_CLIP_BPE_PATH``.
+  file (``bpe_simple_vocab_16e6.txt.gz``, a public OpenAI data asset) is
+  vendored next to this module; ``bpe_path=`` or ``$SPATIAL_CLIP_BPE_PATH``
+  override it.
 - ``GeneTokenizer``: closed-vocabulary tokenizer over a gene-symbol list
   (e.g. ``global_hvgs.txt``) — the natural tokenizer for "gene sentences"
   (space-separated top-k expressed gene symbols), with one token per gene.
@@ -81,7 +82,13 @@ def _resolve_bpe_path(bpe_path: Optional[str]) -> Optional[Path]:
     if bpe_path:
         return Path(bpe_path)
     env = os.environ.get("SPATIAL_CLIP_BPE_PATH")
-    return Path(env) if env else None
+    if env:
+        return Path(env)
+    # vendored public OpenAI CLIP merges (a data asset, same compat-contract
+    # status as models/model_configs/*.json; ref ships the identical file at
+    # src/open_clip/bpe_simple_vocab_16e6.txt.gz)
+    vendored = Path(__file__).parent / "bpe_simple_vocab_16e6.txt.gz"
+    return vendored if vendored.exists() else None
 
 
 class SimpleTokenizer:
