@@ -156,14 +156,15 @@ def main():
 
     # ---- 3. shard-replay validation ---------------------------------------
     print("[3/6] shard-replay validation ...", flush=True)
-    sample0 = manifest["outputs"]["sample_dirs"][0]
-    adata_path = next(Path(inter).glob("*stage2*.h5ad"), None) or next(
-        Path(inter).glob("*.h5ad")
-    )
+    # the validator walks <dataset_root>/<SAMPLE_ID>/*.tar and replays
+    # against the STAGE-2 adata (the matrix the shards were written from)
+    adata_path = inter / "adata_final_for_sharding.h5ad"
+    if not adata_path.exists():
+        adata_path = next(Path(inter).glob("*.h5ad"))
     val_report = work / "shard_validation.json"
     rc = subprocess.run(
         [sys.executable, str(REPO / "scripts/validate_sharded_dataset.py"),
-         "--dataset-dir", str(out_dir / sample0),
+         "--dataset-dir", str(out_dir),
          "--adata", str(adata_path),
          "--n-top-genes", "16",
          "--report", str(val_report)],
@@ -171,6 +172,16 @@ def main():
     )
     assert rc.returncode == 0, rc.stdout + rc.stderr
     report["shard_validation"] = json.loads(val_report.read_text())
+    assert report["shard_validation"]["total_spots_checked"] == stats["total_processed"], (
+        "shard validator must replay every written spot: "
+        f"{report['shard_validation']}"
+    )
+    assert report["shard_validation"]["validity_pct"] == 100.0, (
+        f"shard replay mismatches: {report['shard_validation']}"
+    )
+    print(f"      {report['shard_validation']['total_spots_checked']} spots "
+          f"replayed, {report['shard_validation']['validity_pct']}% valid",
+          flush=True)
 
     # ---- 4. gap statistics --------------------------------------------------
     print("[4/6] gap statistics ...", flush=True)
