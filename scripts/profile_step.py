@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 import numpy as np  # noqa: E402
 
 
-def capture(batch: int, steps: int, out: str, model: str = "ViT-B-32", attn: str = "einsum"):
+def capture(batch: int, steps: int, out: str, model: str = "ViT-B-32", attn: str = "auto"):
     import jax
 
     from spatial_clip_tpu import create_model
@@ -93,7 +93,7 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--out", default="/tmp/jaxtrace")
-    ap.add_argument("--attn", default="einsum")
+    ap.add_argument("--attn", default="auto")
     ap.add_argument("--summarize-only", action="store_true")
     args = ap.parse_args(argv)
     if not args.summarize_only:
