@@ -221,6 +221,18 @@ def build(arm: str, batch: int, model: str):
 
 
 def main():
+    # persistent compile cache: repeat arms across campaigns skip the
+    # 4-30 min tunnel compile when the executable is unchanged (harmless
+    # no-op if the backend doesn't support serialization)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", nargs="+", required=True)
     ap.add_argument("--batch", type=int, default=256)
