@@ -156,10 +156,15 @@ if __name__ == "__main__":
 
         attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
         traceback.print_exc()
-        if attempt >= 2:
+        transient = any(
+            marker in f"{type(e).__name__}: {e}"
+            for marker in ("UNAVAILABLE", "Unavailable", "DEADLINE",
+                           "Socket closed", "Connection reset")
+        )
+        if not transient or attempt >= 2:
             sys.exit(1)
         print(f"transient failure ({type(e).__name__}); retrying in 120s "
-              f"(attempt {attempt + 1}/2)", file=sys.stderr, flush=True)
+              f"(attempt {attempt + 2}/3)", file=sys.stderr, flush=True)
         time.sleep(120)
         os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)

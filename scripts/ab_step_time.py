@@ -228,7 +228,7 @@ def main():
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+                          str(Path(__file__).parents[1] / ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:  # noqa: BLE001
         pass
@@ -264,7 +264,8 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"  attempt {attempt}: {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
-                time.sleep(60)
+                if attempt < 2:
+                    time.sleep(60)
         else:
             print(f"  arm {arm} SKIPPED after 3 failures", flush=True)
             continue

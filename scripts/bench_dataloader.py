@@ -30,7 +30,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 from PIL import Image  # noqa: E402
 
-TARGET_PAIRS_PER_SEC = 3.0 * 930.0  # bench.py north star
+from bench import TARGET as TARGET_PAIRS_PER_SEC  # noqa: E402 (single source)
 
 
 def make_shards(root: Path, n_samples: int, spots: int, tile: int, seed=0):
@@ -138,7 +138,8 @@ def main():
         dt = time.perf_counter() - t0
         rate = n / dt
         result[f"tiles_per_sec_workers{nw}"] = round(rate, 1)
-        if nw == 0:
+        # per-core rate from the synchronous arm (or the first arm measured)
+        if nw == 0 or "tiles_per_sec_per_core" not in result:
             result["tiles_per_sec_per_core"] = round(rate, 1)
             result["cores_to_feed_one_chip_at_target"] = round(
                 TARGET_PAIRS_PER_SEC / rate, 1
@@ -150,6 +151,10 @@ def main():
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -205,7 +205,8 @@ def main():
     run_dir = work / "run"
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
-    train_overrides = [
+    # shared by the train AND eval stages (dataset/model/platform identity)
+    shared_overrides = [
         "experiment=smoke_shards",
         f"trainer.platform={args.platform}",
         f"data.data_dir={out_dir}",
@@ -215,6 +216,8 @@ def main():
         "model.model_name=ViT-Test",
         "model.precision=fp32",
         "model.aug_cfg=null",
+    ]
+    train_overrides = shared_overrides + [
         f"trainer.total_steps={args.train_steps}",
         f"trainer.limit_batches={args.train_steps}",
         "trainer.epochs=1",
@@ -240,7 +243,7 @@ def main():
     ckpts = run_dir / "checkpoints"
     rc = subprocess.run(
         [sys.executable, str(REPO / "eval.py"),
-         *train_overrides[:11],
+         *shared_overrides,
          f"ckpt_path={ckpts}",
          f"paths.output_dir={work / 'eval'}",
          "name=rehearsal_eval"],

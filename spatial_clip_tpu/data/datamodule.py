@@ -50,11 +50,21 @@ def collate_spatial(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 _WORKER_DATASET = None
 
 
-def _init_worker_dataset(dataset):
+def _init_worker_dataset(dataset, counter, seed_base):
     # runs once in each pool process; the dataset pickles its index +
     # preprocess/tokenizer state and re-reads shard files lazily per item
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    # distinct augmentation streams per (worker, epoch): without this every
+    # worker forks/spawns with an IDENTICAL copy of the transform RNG, and
+    # each epoch's fresh pool replays the same crop/flip sequence (torch
+    # seeds workers base_seed + worker_id for the same reason)
+    with counter.get_lock():
+        worker_id = counter.value
+        counter.value += 1
+    pf = getattr(dataset, "preprocess_fn", None)
+    if pf is not None and hasattr(pf, "rng"):
+        pf.rng = np.random.default_rng(seed_base + worker_id)
 
 
 def _worker_getitem(i: int):
@@ -139,12 +149,22 @@ class DataLoader:
             return
 
         if self.worker_type == "process":
+            import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
+            # spawn, NOT fork: sitecustomize pre-imports multithreaded JAX
+            # in every process, and forking a multithreaded parent can
+            # deadlock a child on an inherited lock
+            ctx = multiprocessing.get_context("spawn")
             pool_cm = ProcessPoolExecutor(
                 max_workers=self.num_workers,
+                mp_context=ctx,
                 initializer=_init_worker_dataset,
-                initargs=(self.dataset,),
+                initargs=(
+                    self.dataset,
+                    ctx.Value("i", 0),
+                    self.seed + 1009 * (self._epoch + 1),
+                ),
             )
             getitem = _worker_getitem
         else:

@@ -207,7 +207,13 @@ def add_model_config(path) -> None:
     """Register every ``*.json`` model config under ``path`` (a file or a
     directory), matching the reference's API (factory.py:62-77)."""
     p = Path(path)
-    files = [p] if p.suffix == ".json" else sorted(p.glob("*.json"))
+    if not p.exists():
+        raise FileNotFoundError(f"add_model_config: {p} does not exist")
+    files = [p] if p.is_file() else sorted(p.glob("*.json"))
+    if not files or any(f.suffix.lower() != ".json" for f in files):
+        raise ValueError(
+            f"add_model_config: {p} contains no .json model configs"
+        )
     for f in files:
         register_model_config(f.stem, json.loads(f.read_text()))
 

@@ -90,11 +90,22 @@ def create_model_from_pretrained(
     model_name: str,
     pretrained: Optional[str] = None,
     return_transform: bool = True,
+    require_pretrained: bool = True,
     **kwargs,
 ):
-    """Ref: factory.py:968-1010 — (model, preprocess) for inference."""
-    if model_name.startswith("hf-hub:") and pretrained is None:
-        pretrained = model_name
+    """Ref: factory.py:968-1010 — (model, preprocess) for inference.
+
+    Like the reference, this raises when no pretrained weights were
+    requested (require_pretrained): silently returning random weights from
+    an inference constructor is a footgun. Pass require_pretrained=False
+    (or use create_model_and_transforms) for a fresh initialization.
+    """
+    if pretrained is None and require_pretrained:
+        raise RuntimeError(
+            f"create_model_from_pretrained({model_name!r}) without "
+            "pretrained= would return RANDOM weights; pass a tag/path or "
+            "require_pretrained=False"
+        )
     bundle, _, preprocess_val = create_model_and_transforms(
         model_name, pretrained=pretrained, **kwargs
     )

@@ -545,8 +545,10 @@ class Trainer:
     def _group_batches(it, n):
         """Group n consecutive host batches into one stacked batch for the
         scan-of-steps train step (incomplete tail groups are dropped —
-        webdataset-style epoch-boundary semantics)."""
+        webdataset-style epoch-boundary semantics). Warns when the drop is
+        the WHOLE epoch (scan_steps > batches/epoch trains zero steps)."""
         group = []
+        yielded = 0
         for b in it:
             group.append(b)
             if len(group) == n:
@@ -554,6 +556,16 @@ class Trainer:
                         if isinstance(v, np.ndarray) and k != "raw_text"]
                 yield {k: np.stack([g[k] for g in group]) for k in keys}
                 group = []
+                yielded += 1
+        if group and not yielded:
+            log.warning(
+                "scan_steps=%d > %d batches in the epoch: ZERO optimizer "
+                "steps will run — lower trainer.scan_steps (or raise the "
+                "dataset size)", n, len(group),
+            )
+        elif group:
+            log.info("scan grouping dropped %d tail batches (scan_steps=%d)",
+                     len(group), n)
 
     def fit(
         self,
@@ -608,7 +620,13 @@ class Trainer:
                 t1 = time.perf_counter()
                 state, metrics = self._train_step(state, dbatch)
                 step_no = int(state.step)
-                if step_no % self.cfg.log_every == 0:
+                # under scan, step_no advances by n_scan per call: fire when
+                # a multiple of the cadence was CROSSED, not only when hit
+                crossed = (
+                    lambda every: every and
+                    step_no // every > (step_no - n_scan) // every
+                )
+                if crossed(self.cfg.log_every):
                     # float() conversion below blocks on fresh output buffers
                     # (donated-state buffers may report ready early)
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -635,7 +653,7 @@ class Trainer:
                 if (
                     self.ckpt
                     and self.cfg.save_every_steps
-                    and step_no % self.cfg.save_every_steps == 0
+                    and crossed(self.cfg.save_every_steps)
                 ):
                     self.ckpt.save(jax.tree.map(np.asarray, state.replace(live=None)), step_no)
                 t0 = time.perf_counter()

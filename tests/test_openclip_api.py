@@ -78,11 +78,21 @@ def test_imagenet_metadata_tables():
 
 
 def test_create_model_from_pretrained_shape():
-    out = sct.create_model_from_pretrained("ViT-Test")
+    # matches the reference's require_pretrained: no weights -> error
+    with pytest.raises(RuntimeError):
+        sct.create_model_from_pretrained("ViT-Test")
+    out = sct.create_model_from_pretrained("ViT-Test", require_pretrained=False)
     assert len(out) == 2  # (model bundle, eval preprocess)
     assert sct.create_model_from_pretrained(
-        "ViT-Test", return_transform=False
+        "ViT-Test", return_transform=False, require_pretrained=False
     ).cfg.embed_dim == 32
+
+
+def test_add_model_config_rejects_missing_path(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        sct.add_model_config(tmp_path / "nope")
+    with pytest.raises(ValueError):
+        sct.add_model_config(tmp_path)  # exists but holds no .json
 
 
 def test_load_openai_model_rejects_unknown():

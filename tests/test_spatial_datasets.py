@@ -210,6 +210,30 @@ def test_threaded_loader_matches_sync(tmp_path):
         np.testing.assert_array_equal(a["image_tile_ids"], b["image_tile_ids"])
 
 
+def test_process_worker_rng_diversity():
+    """each pool worker must get a distinct augmentation stream (and a new
+    epoch a new one) — identical forked/spawned RNG copies would replay the
+    same crops in every worker."""
+    import multiprocessing
+
+    from spatial_clip_tpu.data.datamodule import _init_worker_dataset
+    from spatial_clip_tpu.models.transforms import image_transform
+
+    class DS:
+        preprocess_fn = image_transform(8, is_train=True, seed=0)
+
+    ctx = multiprocessing.get_context("spawn")
+    counter = ctx.Value("i", 0)
+    ds = DS()
+    _init_worker_dataset(ds, counter, seed_base=100)
+    a = ds.preprocess_fn.rng.integers(0, 2**31, 4).tolist()
+    _init_worker_dataset(ds, counter, seed_base=100)   # "worker 1"
+    b = ds.preprocess_fn.rng.integers(0, 2**31, 4).tolist()
+    _init_worker_dataset(ds, ctx.Value("i", 0), seed_base=200)  # next epoch
+    c = ds.preprocess_fn.rng.integers(0, 2**31, 4).tolist()
+    assert a != b and a != c and b != c
+
+
 def test_process_loader_matches_sync(tmp_path):
     """process pool workers (torch-DataLoader analogue): the dataset pickles
     into each worker once, items return identical to the sync path."""
