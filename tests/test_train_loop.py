@@ -294,6 +294,45 @@ def test_scan_steps_fit_loop(tiny_bundle):
     assert np.isfinite(metrics["loss"])
 
 
+def test_scan_log_cadence_crossing(tiny_bundle):
+    """under scan, step_no advances by scan_steps per call: log_every
+    cadences that are not multiples of scan_steps must still fire when a
+    multiple is CROSSED (e.g. log_every=3, scan=2 -> steps 4 and 6 log)."""
+    cfg = TrainerConfig(
+        learning_rate=1e-3, warmup_steps=1, total_steps=20,
+        augment=False, log_every=3, scan_steps=2,
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+
+    logged = []
+
+    class Cap:
+        def log(self, step, metrics):
+            logged.append(step)
+
+    factory = _make_data(n=48, batch=8)
+    tr.fit(factory, None, epochs=1, steps_per_epoch=6, logger=Cap())
+    # multiples of 3 crossed by the jumps 0->2->4->6: at step 4 (crosses 3)
+    # and step 6 (hits 6)
+    assert logged == [4, 6], logged
+
+
+def test_scan_zero_step_epoch_warns(tiny_bundle, caplog):
+    """scan_steps larger than the epoch drops everything: fit must warn."""
+    import logging
+
+    cfg = TrainerConfig(
+        learning_rate=1e-3, warmup_steps=1, total_steps=20,
+        augment=False, log_every=1, scan_steps=8,
+    )
+    tr = Trainer(tiny_bundle, loss=make_loss("clip"), config=cfg)
+    factory = _make_data(n=16, batch=8)  # 2 batches < scan_steps=8
+    with caplog.at_level(logging.WARNING):
+        state, _ = tr.fit(factory, None, epochs=1)
+    assert int(state.step) == 0
+    assert any("ZERO optimizer steps" in r.message for r in caplog.records)
+
+
 def test_scale_by_adam_nd_matches_optax():
     """The custom Adam core (train/optim.scale_by_adam_nd — exists to add a
     second-moment storage dtype optax lacks) must match optax.adamw exactly
