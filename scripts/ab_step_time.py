@@ -224,9 +224,15 @@ def main():
     # persistent compile cache: repeat arms across campaigns skip the
     # 4-30 min tunnel compile when the executable is unchanged (harmless
     # no-op if the backend doesn't support serialization)
-    try:
-        import jax
+    import os
 
+    import jax
+
+    # honor JAX_PLATFORMS in-process (the env var alone is ignored once
+    # sitecustomize registers the axon backend) — enables CPU dry runs
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    try:
         jax.config.update("jax_compilation_cache_dir",
                           str(Path(__file__).parents[1] / ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
