@@ -25,7 +25,17 @@ _ARCH_TO_MODULE = {
         "transformers.models.xlm_roberta.modeling_flax_xlm_roberta",
         "FlaxXLMRobertaModule", "transformers", "XLMRobertaConfig",
     ),
+    # encoder-only T5/mT5 (ref: hf_configs.py:30-44 "mt5" — layer_attr
+    # "block", mean pooling); the flax T5 encoder takes (ids, mask) only
+    "mt5": ("transformers.models.t5.modeling_flax_t5",
+            "FlaxT5EncoderModule", "transformers", "MT5Config"),
+    "t5": ("transformers.models.t5.modeling_flax_t5",
+           "FlaxT5EncoderModule", "transformers", "T5Config"),
 }
+
+# encoder __call__ takes (input_ids, attention_mask) only — no token-type
+# or position ids (relative position bias instead)
+_IDS_MASK_ONLY = {"mt5", "t5"}
 
 
 def _load_arch(arch: str):
@@ -52,7 +62,7 @@ class HFTextTower(nn.Module):
         module_cls, config_cls = _load_arch(self.arch)
         cfg = config_cls(**(self.hf_config or {}))
         self.hf = module_cls(cfg, dtype=self.dtype)
-        self.hidden_size = cfg.hidden_size
+        self.hidden_size = getattr(cfg, "hidden_size", None) or cfg.d_model
         if self.proj_type == "mlp":
             hidden = (self.hidden_size + self.output_dim) // 2
             self.proj1 = nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
@@ -63,14 +73,17 @@ class HFTextTower(nn.Module):
 
     def __call__(self, text: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         attn_mask = (text != self.pad_id).astype(jnp.int32)
-        token_type = jnp.zeros_like(text)
-        positions = jnp.broadcast_to(
-            jnp.arange(text.shape[1])[None], text.shape
-        )
-        out = self.hf(
-            text, attn_mask, token_type, positions,
-            deterministic=deterministic,
-        )
+        if self.arch in _IDS_MASK_ONLY:
+            out = self.hf(text, attn_mask, deterministic=deterministic)
+        else:
+            token_type = jnp.zeros_like(text)
+            positions = jnp.broadcast_to(
+                jnp.arange(text.shape[1])[None], text.shape
+            )
+            out = self.hf(
+                text, attn_mask, token_type, positions,
+                deterministic=deterministic,
+            )
         hidden = out.last_hidden_state  # (B, L, H)
         maskf = attn_mask.astype(jnp.float32)[..., None]
         if self.pooler_type == "cls_pooler":
@@ -92,6 +105,8 @@ _ARCH_TO_FLAX_MODEL = {
     "bert": "FlaxBertModel",
     "roberta": "FlaxRobertaModel",
     "xlm-roberta": "FlaxXLMRobertaModel",
+    "mt5": "FlaxT5EncoderModel",
+    "t5": "FlaxT5EncoderModel",
 }
 
 

@@ -281,6 +281,26 @@ def test_hf_text_tower_offline():
     )
 
 
+def test_hf_mt5_text_tower_offline():
+    """mt5 encoder-only text tower (ref: hf_configs.py:30-44 — the 4th HF
+    arch family; relative position bias, ids+mask-only call signature)."""
+    hf_cfg = {"vocab_size": 512, "d_model": 32, "num_layers": 2,
+              "num_heads": 2, "d_ff": 64, "d_kv": 16}
+    bundle = create_model(
+        "ViT-Test", precision="fp32",
+        text_cfg={"context_length": 16, "vocab_size": 512,
+                  "hf_config": hf_cfg, "hf_model_arch": "mt5",
+                  "hf_pooler_type": "mean_pooler"},
+    )
+    images = np.zeros((2, 32, 32, 3), dtype=np.float32)
+    text = np.ones((2, 16), dtype=np.int32)
+    out = bundle(images=images, text=text)
+    assert out["text_features"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["text_features"], axis=-1), 1.0, rtol=1e-5
+    )
+
+
 def test_simple_tokenizer_bpe_algorithm(tmp_path):
     """Byte-BPE with a tiny synthetic merges file: merges apply by rank,
     encode/decode round-trips, special tokens wrap the sequence."""
