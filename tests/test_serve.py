@@ -1,0 +1,83 @@
+"""Embedding server: micro-batching correctness + HTTP surface."""
+import base64
+import io
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from spatial_clip_tpu.serve import EmbeddingService, make_handler
+
+
+@pytest.fixture(scope="module")
+def service():
+    return EmbeddingService(
+        "ViT-Test", batch_size=4, precision="fp32", platform="cpu"
+    )
+
+
+def _png_b64(rng, size):
+    from PIL import Image
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_embed_texts_batching_matches_direct(service):
+    texts = [f"gene sentence {i}" for i in range(7)]  # crosses one pad batch
+    emb = service.embed_texts(texts)
+    assert emb.shape == (7, service.bundle.cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
+    # pad-and-slice must equal a direct single-item encode
+    one = service.embed_texts(texts[:1])
+    np.testing.assert_allclose(emb[0], one[0], atol=1e-5)
+
+
+def test_embed_images(service):
+    rng = np.random.default_rng(0)
+    size = service.bundle.cfg.vision_cfg.image_size
+    emb = service.embed_images_b64([_png_b64(rng, size) for _ in range(3)])
+    assert emb.shape == (3, service.bundle.cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_http_surface(service):
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["embed_dim"] == 32
+
+        body = json.dumps({"texts": ["hello", "world"]})
+        conn.request("POST", "/embed_text", body)
+        out = json.loads(conn.getresponse().read())
+        emb = np.asarray(out["embeddings"])
+        assert emb.shape == (2, 32)
+
+        rng = np.random.default_rng(1)
+        size = service.bundle.cfg.vision_cfg.image_size
+        body = json.dumps({"images_b64": [_png_b64(rng, size)]})
+        conn.request("POST", "/embed_image", body)
+        out = json.loads(conn.getresponse().read())
+        assert np.asarray(out["embeddings"]).shape == (1, 32)
+
+        conn.request("POST", "/nope", "{}")
+        assert conn.getresponse().status == 404
+
+        conn.request("POST", "/embed_text", '{"bad": 1}')
+        resp = conn.getresponse()
+        assert resp.status == 400 and b"error" in resp.read()
+    finally:
+        server.shutdown()
