@@ -249,6 +249,30 @@ def test_process_loader_matches_sync(tmp_path):
         np.testing.assert_array_equal(a["image_tile_ids"], b["image_tile_ids"])
 
 
+def test_process_loader_real_shard_dataset(tmp_path):
+    """the FULL production item path (tar seek + PNG decode + transform +
+    tokenizer) must survive pickling into spawn workers."""
+    from spatial_clip_tpu.data.datamodule import DataLoader
+    from spatial_clip_tpu.models.factory import get_tokenizer
+    from spatial_clip_tpu.models.transforms import image_transform
+
+    root = _make_shard_dataset(tmp_path)
+    ds = ShardedSpatialDataset(
+        dataset_root=root, split="train", sample_ids=["SAMPLE_A"],
+        k_neighbors=2,
+        preprocess_fn=image_transform(4, is_train=False),
+        tokenizer=get_tokenizer("ViT-Test"),
+        cache_dir=root / ".cache", rebuild_cache=True,
+    )
+    sync = list(DataLoader(ds, batch_size=3, shuffle=False, num_workers=0,
+                           drop_last=False))
+    proc = list(DataLoader(ds, batch_size=3, shuffle=False, num_workers=2,
+                           drop_last=False, worker_type="process"))
+    assert len(sync) == len(proc) == 1
+    np.testing.assert_array_equal(sync[0]["images"], proc[0]["images"])
+    np.testing.assert_array_equal(sync[0]["texts"], proc[0]["texts"])
+
+
 def test_native_tar_indexer_matches_tarfile(tmp_path):
     """C++ indexer (native/tarindex.cpp) must agree with Python tarfile."""
     import tarfile as tf_mod
