@@ -31,11 +31,12 @@ def main():
 
     # Default = the reference-parity ViT-B/32 + text-transformer config (the
     # configuration whose retrieval parity is demonstrated end-to-end; see
-    # docs/experiments.md): 2726 pairs/sec/chip = 0.98x target.
+    # docs/experiments.md): 2738 pairs/sec/chip = 0.98x target.
     # BENCH_MODEL=ViT-B-32-GeneMLP benchmarks the TPU-native gene-MLP
     # flagship (north-star config 1): 4654 pairs/sec/chip = 1.67x target,
-    # with synthetic retrieval scaling unsaturated through 131k spots
-    # (R@1 0.063->0.570; docs/experiments.md).
+    # with MEASURED quality superiority over the text tower on the unbiased
+    # continuous-expression task at the reference's 266k-spot scale
+    # (R@1 0.902 vs 0.652; docs/experiments.md, reports/gene_expr_scaling.json).
     model_name = os.environ.get("BENCH_MODEL", "ViT-B-32")
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     # >=60 back-pressured steps: the remote-tunnel runtime under-reports
@@ -127,12 +128,15 @@ def main():
                     "model": model_name,
                     "tower_note": (
                         "gene-MLP tower (north-star config 1): 1.67x"
-                        " target; synthetic retrieval scaling unsaturated"
-                        " through 131k spots (docs/experiments.md)"
+                        " target, with measured R@1 superiority over the"
+                        " text tower at the reference's 266k-spot scale"
+                        " (0.902 vs 0.652 on the unbiased"
+                        " continuous-expression task; docs/experiments.md)"
                         if "GeneMLP" in model_name
                         else "text transformer (reference parity); the"
                         " gene-MLP flagship measures 4654 pairs/sec/chip"
-                        " (1.67x target) — see docs/experiments.md"
+                        " (1.67x target) at measured-superior retrieval"
+                        " quality — see docs/experiments.md"
                     ),
                     "global_batch": B,
                     "n_chips": n_dev,
