@@ -47,6 +47,18 @@ def test_embed_images(service):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
 
 
+def test_int8_serving_path():
+    """mlp_impl='int8' must serve normalized embeddings too (the 1.1x
+    ViT-L path; 2x weight compression everywhere)."""
+    svc = EmbeddingService(
+        "ViT-Test", batch_size=2, precision="fp32", mlp_impl="int8",
+        platform="cpu",
+    )
+    emb = svc.embed_texts(["a", "b", "c"])
+    assert emb.shape == (3, svc.bundle.cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-4)
+
+
 def test_http_surface(service):
     from http.server import ThreadingHTTPServer
 
