@@ -48,7 +48,7 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "8"))
     # real optimizer steps per dispatched program (TrainerConfig.scan_steps;
     # exact per-step math, fewer program launches)
-    scan = int(os.environ.get("BENCH_SCAN", "8"))
+    scan = int(os.environ.get("BENCH_SCAN", "32"))
     k = 6  # neighbor graph degree (ref: configs k_neighbors=6)
 
     n_dev = len(jax.devices())

@@ -8,6 +8,11 @@ Arms are attn_impl names (optionally `name@B` to override batch, or
 `name#mlp` to set mlp_impl). All arms run in ONE process, interleaved in
 rounds, with device->host value-fetch sync per chunk (the only reliable
 barrier on the tunnel runtime — CLAUDE.md).
+
+HBM budget: every arm keeps its params + Adam state resident, ~2 GB per
+ViT-B arm — cap campaigns at SIX arms per process (7 arms OOMed the 16 GB
+v5e chip; the 7th arm is skipped at build, then round 0 still dies when
+activations land on top).
 """
 from __future__ import annotations
 
