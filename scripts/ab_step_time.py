@@ -58,6 +58,7 @@ def build(arm: str, batch: int, model: str):
         name = name.replace("^nopack", "")
         fa.PACK_PAIRS = False
     # '^dx'/'^db'/'^nodx' pin the qkv_attention backward fusion mode per arm
+    # (no suffix -> the shipped default, so a prior arm's pin never leaks)
     if "^nodx" in name:
         name = name.replace("^nodx", "")
         fa.BWD_FUSE = "none"
@@ -66,6 +67,8 @@ def build(arm: str, batch: int, model: str):
         fa.BWD_FUSE = "dxdb"
     elif "^db" in name:
         name = name.replace("^db", "")
+        fa.BWD_FUSE = "db"
+    else:
         fa.BWD_FUSE = "db"
     # '^nozip'/'^zip' pin the zipped dual-tower attention path per arm
     # (models/clip.py encode_pair; config default is 'auto' = zip on TPU)

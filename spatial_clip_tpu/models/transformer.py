@@ -347,7 +347,13 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.width // self.heads
         impl = self.impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+            # pallas3 (projection-fused VJP + in-kernel bias grad, see
+            # BWD_FUSE) over plain pallas: identical forward, but the
+            # backward consumes the kernel's (3,B,L,D) cotangent directly —
+            # the (B,L,3D) dqkv DUS-concat chain (~1.6 ms/step at ViT-B) and
+            # the standalone db reduce (~1.1 ms) never materialize. Measured
+            # -0.51 ms/step on the parity config (reports/ab_pallas3_r3s6).
+            impl = "pallas3" if jax.default_backend() == "tpu" else "einsum"
         if ln is not None:
             # pre-LN handed in for fusion with the qkv projection
             # (ops/fused_ln_dense). Fusable only on the Pallas attention

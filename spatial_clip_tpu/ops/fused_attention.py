@@ -1148,10 +1148,15 @@ def _get_bwd3_cp():
 # steps) eliminates that relayout entirely; dw/db still contract the d3
 # monolith in XLA, which needs only a free bitcast.
 # BWD_FUSE: 'none' -> plain d3 kernel; 'db' -> d3 + in-kernel bias grad
-# (measured winner candidate: removes the separate 59MB/layer db read);
+# (DEFAULT: removes the separate per-layer db read; f32 accumulation, at
+# least as precise as XLA's bf16 reduce. Model-level A/B on the parity
+# config: pallas3^db 92.66 vs auto/pallas 93.16 ms/step — the -0.51 that
+# ships 'pallas3' as the TPU default; d3 WITHOUT db measures +2.5 because
+# XLA's standalone db reduce + dx relayout of (3,B,L,D) give back the DUS
+# savings. reports/ab_pallas3_r3s6.json);
 # 'dxdb' -> also fuse the input-grad GEMM (measured LOSS, +13 ms/step --
 # tiny-M dx dots serialize with the attention dots; ships for evidence).
-BWD_FUSE = "none"
+BWD_FUSE = "db"
 
 _bwd3dx_cp = None
 _bwd3db_cp = None

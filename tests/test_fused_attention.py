@@ -290,6 +290,37 @@ def test_qkv_attention_parity(rng, causal):
                                    atol=2e-2, rtol=1e-3)
 
 
+@pytest.mark.parametrize("mode", ["db", "dxdb"])
+def test_qkv_attention_bwd_fuse_parity(rng, mode):
+    """BWD_FUSE variants (in-kernel bias grad / input-grad GEMM) must produce
+    the identical dx/dW/db as the plain d3 backward."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    B, L, Din, D, H = 3, 11, 128, 128, 2
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(args):
+        return ((fa.qkv_attention(*args, mask, H, True) - tgt) ** 2).sum()
+
+    def loss_ref(args):
+        return ((_qkv_attn_ref(*args, mask, H) - tgt) ** 2).sum()
+
+    prev = fa.BWD_FUSE
+    try:
+        fa.BWD_FUSE = mode
+        g = jax.grad(loss)((x, w, b))
+    finally:
+        fa.BWD_FUSE = prev
+    g_ref = jax.grad(loss_ref)((x, w, b))
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-2, rtol=1e-3)
+
+
 def test_qkv_attention_packed_parity(rng, packed):
     from spatial_clip_tpu.ops.fused_attention import qkv_attention
 
