@@ -147,12 +147,26 @@ def build(arm: str, batch: int, model: str):
     if m:
         fa.VMEM_LIMIT_BYTES = int(m.group(1)) * 2 ** 20
         name = name.replace(m.group(0), "")
-    # '~fast'/'~safe' pin the softmax variant per arm (read at trace time);
-    # bare arms keep the module default
+    # '^nolse' pins the recompute backward (no saved-logsumexp residual)
+    if "^nolse" in name:
+        name = name.replace("^nolse", "")
+        fa.SAVE_LSE = False
+    else:
+        fa.SAVE_LSE = True
+    # '~fast'/'~safe'/'~shift' pin the softmax variant per arm (read at
+    # trace time); bare arms get the shipped default (rowmax + post-dot
+    # normalization), so a prior arm's pin never leaks
     if name.endswith("~fast"):
-        name, fa.FAST_SOFTMAX = name[:-5], True
+        name = name[:-5]
+        fa.FAST_SOFTMAX, fa.FIXED_SHIFT = True, False
+    elif name.endswith("~shift"):  # the retired fixed-shift formulation
+        name = name[:-6]
+        fa.FAST_SOFTMAX, fa.FIXED_SHIFT = True, True
     elif name.endswith("~safe"):
-        name, fa.FAST_SOFTMAX = name[:-5], False
+        name = name[:-5]
+        fa.FAST_SOFTMAX, fa.FIXED_SHIFT = False, False
+    else:
+        fa.FAST_SOFTMAX, fa.FIXED_SHIFT = True, False
     if name.endswith("+lnf"):  # fused LN->GEMM kernel (ops/fused_ln_dense)
         name, ln_gemm = name[:-4], "pallas"
     if "%" in name:

@@ -39,19 +39,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# Fast-softmax (default): replace the per-row running-max subtraction with a
-# FIXED shift (exactly equal softmax for any shift — not an approximation),
-# and fold the 1/sum normalization into the (smaller) output tile after the
-# PV dot — saves a reduce + a (bB,L,L)-wide elementwise pass per sub-head.
-# Measured 99.1 vs 101.0 ms/step on the parity config
-# (reports/ab_fastsm_r2.json). fp32 exp overflows only if a score exceeds
-# ~88 + SHIFT = 108; CLIP attention logits are O(30). Underflow floor: if
-# EVERY unmasked score in a row fell below ~-68 the row's exp-sum would be
-# 0 — the 1/sum normalizations below clamp the denominator at 1e-30 so such
-# a row degrades to zeros instead of NaN. Set False to restore the
-# running-max formulation (arm suffix '~fast' toggles it per A/B arm).
+# Fast-softmax (default): keep the real per-row max subtraction (exact,
+# overflow-proof softmax — never produces inf/NaN for any score magnitude)
+# but fold the 1/sum normalization into the (smaller) output tile AFTER the
+# PV dot — that post-dot fold, not the shift, was most of the original
+# fixed-shift win (it saves a (bB,L,L)-wide elementwise pass per sub-head;
+# the max reduce itself hides under the kernel's DMA-bound profile).
+#
+# The original FIXED-shift formulation (exp(s - 20), no row reduce) ships
+# as the FIXED_SHIFT=True knob (arm suffix '~shift') for A/B evidence, but
+# is retired as the default: scores beyond +108 overflow exp to inf and the
+# whole row NaNs. That is NOT a diverged-training-only regime — a
+# repeated-batch ViT-B run with HEALTHY loss (~5.45) crossed the cliff at
+# step ~192 while the running-max formulation sailed on (loss 5.37 at 288;
+# reports/nan_check_r3s6, docs/experiments.md round-3 session 6). The
+# reference's softmax (torch SDPA running max) tolerates arbitrary score
+# scales, so the default must too. Underflow: with a real row max the
+# exp-sum is always >= 1, so the 1e-30 denominator clamps below can never
+# engage in fast mode (they remain for the fixed-shift knob).
+# FAST_SOFTMAX=False restores the textbook pre-dot normalization
+# (arm suffix '~safe').
 FAST_SOFTMAX = True
+FIXED_SHIFT = False
 _FAST_SHIFT = 20.0
+
+
+def _fast_shift(s):
+    """Shift for the fast-softmax exp: the per-row max (exact, safe) or the
+    retired fixed constant when FIXED_SHIFT is pinned."""
+    if FIXED_SHIFT:
+        return _FAST_SHIFT
+    return jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
 
 # Packed batch-pairs: when L <= 64, each sub-head's dots cover a PAIR of
 # batch rows block-diagonally — ONE scores dot ((2Lp,hd)x(hd,2Lp)) and ONE
@@ -108,43 +126,56 @@ def _pack2(x0, x1, L, Lp):
     return jnp.concatenate([x0, pad, x1, pad], axis=1)  # (bB/2, 2Lp, hd)
 
 
-def _one_head_fwd(q, k, v, mask, scale):
-    """(bB, L, hd) sub-head attention; fp32 softmax; returns (bB, L, hd)."""
+def _one_head_fwd(q, k, v, mask, scale, want_lse=False):
+    """(bB, L, hd) sub-head attention; fp32 softmax; returns (bB, L, hd),
+    or ``(o, lse)`` with the per-row logsumexp of the masked+scaled scores
+    when ``want_lse`` (saved as a VJP residual so the backward reconstructs
+    p = exp(s - lse) with no max/sum reduce at all)."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     s = s * scale + mask[None]
     if FAST_SOFTMAX:
-        e = jnp.exp(s - _FAST_SHIFT)
+        shift = _fast_shift(s)
+        e = jnp.exp(s - shift)
+        sigma = jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
         o = jax.lax.dot_general(
             e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        return o * (1.0 / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30))
-    s = s - s.max(axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / p.sum(axis=-1, keepdims=True)
-    return jax.lax.dot_general(
+        o = o * (1.0 / sigma)
+        if want_lse:
+            return o, (jnp.log(sigma) + shift)[..., 0]
+        return o
+    m = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    sigma = jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
+    p = e / sigma
+    o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if want_lse:
+        return o, (jnp.log(sigma) + m)[..., 0]
+    return o
 
 
 def _p_from_scores(s):
     """Normalized attention probs from masked+scaled fp32 scores; honors
     FAST_SOFTMAX (fixed shift instead of the per-row max reduction)."""
     if FAST_SOFTMAX:
-        e = jnp.exp(s - _FAST_SHIFT)
+        e = jnp.exp(s - _fast_shift(s))
         return e / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
     s = s - s.max(axis=-1, keepdims=True)
     e = jnp.exp(s)
     return e / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
 
 
-def _pair_fwd(qs, ks, vs, mask2, scale):
-    """Two sub-heads packed along the sequence axis into one scores dot and
+def _pair_fwd(qs, ks, vs, mask2, scale, want_lse=False):
+    """Two batch rows packed along the sequence axis into one scores dot and
     one PV dot (mask2 is the (2Lp,2Lp) block-diagonal mask); exact math —
-    off-block probabilities are exp(-1e30) == 0."""
+    off-block probabilities are exp(-1e30) == 0. With ``want_lse``, also
+    returns the per-row logsumexp for each of the two unpacked row blocks."""
     L = qs[0].shape[1]
     Lp = _roundup16(L)
     qp = _pack2(qs[0], qs[1], L, Lp)  # (bB, 2Lp, hd)
@@ -155,27 +186,39 @@ def _pair_fwd(qs, ks, vs, mask2, scale):
     )
     s = s * scale + mask2[None]
     if FAST_SOFTMAX:
-        e = jnp.exp(s - _FAST_SHIFT)
+        shift = _fast_shift(s)
+        e = jnp.exp(s - shift)
+        sigma = jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
         o = jax.lax.dot_general(
             e.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        o = o * (1.0 / jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30))
+        o = o * (1.0 / sigma)
+        lse = jnp.log(sigma) + shift
     else:
-        s = s - s.max(axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / p.sum(axis=-1, keepdims=True)
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        sigma = jnp.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
+        p = e / sigma
         o = jax.lax.dot_general(
             p.astype(vp.dtype), vp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        lse = jnp.log(sigma) + m
+    if want_lse:
+        lse = lse[..., 0]  # (bB, 2Lp)
+        return (o[:, :L], o[:, Lp:Lp + L]), (lse[:, :L], lse[:, Lp:Lp + L])
     return o[:, :L], o[:, Lp:Lp + L]
 
 
-def _pair_bwd(qs, ks, vs, dos, mask2, scale):
+def _pair_bwd(qs, ks, vs, dos, mask2, scale, lses=None):
     """Packed-pair attention VJP: every (.,L,.) dot of the standard backward
     runs once at (.,2Lp,.) instead of twice; off-block entries of p (and
-    hence ds) are exactly zero, so cross terms vanish."""
+    hence ds) are exactly zero, so cross terms vanish. With ``lses`` (the
+    forward's saved per-row logsumexp for the two row blocks) the
+    probabilities come from one exp pass — no max/sum reduce; the _pack2
+    zero-padding gives pad rows lse=0, reproducing the legacy one-hot pad
+    semantics exactly (diagonal score 0 -> p=1, off-block exp(-1e30)=0)."""
     L = qs[0].shape[1]
     Lp = _roundup16(L)
     qp = _pack2(qs[0], qs[1], L, Lp)
@@ -186,7 +229,11 @@ def _pair_bwd(qs, ks, vs, dos, mask2, scale):
         qp, kp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     s = s * scale + mask2[None]
-    p = _p_from_scores(s)
+    if lses is not None:
+        lse2 = _pack2(lses[0][:, :, None], lses[1][:, :, None], L, Lp)[..., 0]
+        p = jnp.exp(s - lse2[:, :, None])
+    else:
+        p = _p_from_scores(s)
     pb = p.astype(dop.dtype)
     dv = jax.lax.dot_general(
         pb, dop, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -231,8 +278,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hd, hpb,
 
 
 def _bwd_compute(q_ref, k_ref, v_ref, mask, do_ref, *, scale, hd, hpb,
-                 packed, out_dtype):
-    """Shared backward body: returns per-sub-head dq/dk/dv lists."""
+                 packed, out_dtype, lse=None):
+    """Shared backward body: returns per-sub-head dq/dk/dv lists. With
+    ``lse`` (the forward's saved (hpb, bB, L) logsumexp block) the softmax
+    reconstruction is a single exp pass — no max or sum reduce."""
     dqs = [None] * hpb
     dks = [None] * hpb
     dvs = [None] * hpb
@@ -243,9 +292,13 @@ def _bwd_compute(q_ref, k_ref, v_ref, mask, do_ref, *, scale, hd, hpb,
         v = v_ref[:, :, sub * hd:(sub + 1) * hd]
         do = do_ref[:, :, sub * hd:(sub + 1) * hd]
         if packed:
+            lses = None
+            if lse is not None:
+                lses = (lse[sub, :half, :], lse[sub, half:, :])
             dq2, dk2, dv2 = _pair_bwd(
                 (q[:half], q[half:]), (k[:half], k[half:]),
                 (v[:half], v[half:]), (do[:half], do[half:]), mask, scale,
+                lses=lses,
             )
             dqs[sub] = jnp.concatenate(dq2, axis=0).astype(out_dtype)
             dks[sub] = jnp.concatenate(dk2, axis=0).astype(out_dtype)
@@ -256,7 +309,10 @@ def _bwd_compute(q_ref, k_ref, v_ref, mask, do_ref, *, scale, hd, hpb,
             preferred_element_type=jnp.float32,
         )
         s = s * scale + mask[None]
-        p = _p_from_scores(s)  # (bB, Lq, Lk) fp32
+        if lse is not None:
+            p = jnp.exp(s - lse[sub][:, :, None])  # (bB, Lq, Lk) fp32
+        else:
+            p = _p_from_scores(s)  # (bB, Lq, Lk) fp32
 
         pb = p.astype(do.dtype)
         dv = jax.lax.dot_general(
@@ -282,6 +338,35 @@ def _bwd_compute(q_ref, k_ref, v_ref, mask, do_ref, *, scale, hd, hpb,
         dks[sub] = dk.astype(out_dtype)
         dvs[sub] = dv.astype(out_dtype)
     return dqs, dks, dvs
+
+
+def _fwd_kernel_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                    scale, hd, hpb, packed=False):
+    """_fwd_kernel + per-row logsumexp emitted as a second (tiny) output
+    ((hpb, block_b, L) f32 block of the (heads, B, L) array — heads leads
+    so the Mosaic-constrained last two block dims are (block_b %8, L==full);
+    a (B, heads, L) layout would put hpb on the sublane dim, which is
+    neither %8 nor the full heads) — the saved residual that lets the
+    backward skip its max AND sum reduces."""
+    mask = mask_ref[:]
+    outs = [None] * hpb
+    half = q_ref.shape[0] // 2
+    for s in range(hpb):
+        q = q_ref[:, :, s * hd:(s + 1) * hd]
+        k = k_ref[:, :, s * hd:(s + 1) * hd]
+        v = v_ref[:, :, s * hd:(s + 1) * hd]
+        if packed:
+            (oa, ob), (la, lb) = _pair_fwd(
+                (q[:half], q[half:]), (k[:half], k[half:]),
+                (v[:half], v[half:]), mask, scale, want_lse=True,
+            )
+            outs[s] = jnp.concatenate([oa, ob], axis=0).astype(o_ref.dtype)
+            lse_ref[s] = jnp.concatenate([la, lb], axis=0)
+        else:
+            o, l = _one_head_fwd(q, k, v, mask, scale, want_lse=True)
+            outs[s] = o.astype(o_ref.dtype)
+            lse_ref[s] = l
+    o_ref[:] = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -319,6 +404,39 @@ def _bwd_kernel3_db(q_ref, k_ref, v_ref, mask_ref, do_ref, d3_ref, db_ref,
     dqs, dks, dvs = _bwd_compute(
         q_ref, k_ref, v_ref, mask_ref[:], do_ref,
         scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
+    )
+    dq = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
+    dk = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
+    dv = dvs[0] if hpb == 1 else jnp.concatenate(dvs, axis=-1)
+    d3_ref[0] = dq
+    d3_ref[1] = dk
+    d3_ref[2] = dv
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _db_init():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    bsum = jnp.concatenate(
+        [jnp.sum(t.astype(jnp.float32), axis=(0, 1))[None, :]
+         for t in (dq, dk, dv)], axis=0,
+    )  # (3, lanes)
+    db_ref[j] = db_ref[j] + bsum
+
+
+def _bwd_kernel3_db_lse(q_ref, k_ref, v_ref, mask_ref, lse_ref, do_ref,
+                        d3_ref, db_ref, *, scale, hd, hpb, packed=False):
+    """_bwd_kernel3_db with the forward's saved logsumexp as an input —
+    p = exp(s - lse) directly, so this backward runs NO max/sum reduce
+    over the score tiles (cheaper than even the retired fixed-shift
+    backward, which still summed) while staying exact for any score
+    magnitude."""
+    dqs, dks, dvs = _bwd_compute(
+        q_ref, k_ref, v_ref, mask_ref[:], do_ref,
+        scale=scale, hd=hd, hpb=hpb, packed=packed, out_dtype=d3_ref.dtype,
+        lse=lse_ref[:],
     )
     dq = dqs[0] if hpb == 1 else jnp.concatenate(dqs, axis=-1)
     dk = dks[0] if hpb == 1 else jnp.concatenate(dks, axis=-1)
@@ -1243,6 +1361,197 @@ def _bwd_pallas3_db(qkv, mask, g, heads, interpret):
     )(qkv, qkv, qkv, kmask, g.astype(qkv.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Saved-logsumexp variant (SAVE_LSE, DEFAULT for the pallas3+db path): the
+# forward emits the per-row logsumexp of the masked+scaled scores as a tiny
+# second output ((B, heads, L) f32 — ~600 KB/layer at ViT-B, block last dim
+# == full L so Mosaic accepts the (block_b, hpb, L) spec), saved as a VJP
+# residual. The backward reconstructs p = exp(s - lse) in ONE exp pass: no
+# per-row max reduce (the overflow-safety cost) and no sum reduce (which
+# even the retired fixed-shift backward paid). Exact softmax for any score
+# magnitude in fwd AND bwd.
+# ---------------------------------------------------------------------------
+SAVE_LSE = True
+
+
+def _lse_ok(qkv, heads):
+    """The (hpb, block_b, L) lse block needs block_b %8 (or == B) for BOTH
+    the fwd and bwd grids — true for every production batch; tiny odd
+    batches fall back to the recompute backward."""
+    try:
+        B = qkv.shape[0]
+        for cap in (FWD_BLOCK_CAP, _bwd_cap(qkv.shape[1])):
+            bb = _pick_block_b(B, cap)
+            if bb % 8 != 0 and bb != B:
+                return False
+        return True
+    except Exception:  # noqa: BLE001 — unsupported geometry resolves later
+        return False
+
+
+def _fwd_pallas_lse(qkv, mask, heads, interpret):
+    """(out, lse) forward: the default group kernel + the logsumexp rows."""
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, FWD_BLOCK_CAP)
+    scale = hd ** -0.5
+    if mask is None:
+        mask = jnp.zeros((L, L), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=4 * B * heads * L * L * hd,
+        bytes_accessed=(qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    pack = _pack_ok(block_b, L)
+    kmask = mask.astype(jnp.float32)
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_lse, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0]),
+        out_specs=[
+            pl.BlockSpec((block_b, L, lanes), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hpb, block_b, L), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), qkv.dtype),
+            jax.ShapeDtypeStruct((heads, B, L), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else _default_cparams(grid),
+    )(qkv, qkv, qkv, kmask)
+
+
+def _bwd_pallas3_db_lse(qkv, mask, lse, g, heads, interpret):
+    """(d3, db_raw) backward consuming the saved lse — no score reduces."""
+    B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
+        qkv, heads, _bwd_cap(qkv.shape[1])
+    )
+    scale = hd ** -0.5
+    blk = (block_b, L, lanes)
+    cost = pl.CostEstimate(
+        flops=11 * B * heads * L * L * hd,
+        bytes_accessed=2 * (qkv.size + B * L * D) * qkv.dtype.itemsize,
+        transcendentals=B * heads * L * L,
+    )
+    pack = _pack_ok(block_b, L)
+    kmask = (jnp.zeros((L, L), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+    if pack:
+        kmask = _packed_mask(kmask, L)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel3_db_lse, scale=scale, hd=hd, hpb=hpb,
+                          packed=pack),
+        grid=grid,
+        in_specs=_specs(block_b, L, lanes, D, n_groups,
+                        mask_len=kmask.shape[0])
+        + [pl.BlockSpec((hpb, block_b, L), lambda i, j: (j, i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(blk, lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((3, block_b, L, lanes), lambda i, j: (0, i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_groups, 3, lanes), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, B, L, D), qkv.dtype),
+            jax.ShapeDtypeStruct((n_groups, 3, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=cost,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )(qkv, qkv, qkv, kmask, lse, g.astype(qkv.dtype))
+
+
+def _fwd_lse_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                   result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return (NamedSharding(mesh, P(b, None, None)),
+            NamedSharding(mesh, P(None, b, None)))
+
+
+def _fwd_lse_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                       result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    arg_shardings = (s, NamedSharding(mesh, P(None, None)))
+    result_sharding = (s, NamedSharding(mesh, P(None, b, None)))
+
+    def lower_fn(qkv, mask):
+        return _fwd_pallas_lse(qkv, mask, heads, interpret)
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+def _bwd3db_lse_infer(heads, interpret, interleaved, mesh, arg_shapes,
+                      result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    return (NamedSharding(mesh, P(None, b, None, None)),
+            NamedSharding(mesh, P(None, None, None)))
+
+
+def _bwd3db_lse_partition(heads, interpret, interleaved, mesh, arg_shapes,
+                          result_shape):
+    from jax.sharding import NamedSharding
+
+    b, P = _batch_spec(arg_shapes)
+    s = NamedSharding(mesh, P(b, None, None))
+    arg_shardings = (s, NamedSharding(mesh, P(None, None)),
+                     NamedSharding(mesh, P(None, b, None)), s)
+    result_sharding = (NamedSharding(mesh, P(None, b, None, None)),
+                       NamedSharding(mesh, P(None, None, None)))
+
+    def lower_fn(qkv, mask, lse, g):
+        d3, db = _bwd_pallas3_db_lse(qkv, mask, lse, g, heads, interpret)
+        if b is not None:
+            db = jax.lax.psum(db, b)
+        return d3, db
+
+    return mesh, lower_fn, result_sharding, arg_shardings
+
+
+_fwd_lse_cp = None
+_bwd3db_lse_cp = None
+
+
+def _get_fwd_lse_cp():
+    global _fwd_lse_cp
+    if _fwd_lse_cp is None:
+        _fwd_lse_cp = _make_cp(
+            lambda qkv, mask, heads, interpret, interleaved:
+            _fwd_pallas_lse(qkv, mask, heads, interpret),
+            _fwd_lse_infer, _fwd_lse_partition,
+            "B l d, m n -> B l e, h B q", 2,
+        )
+    return _fwd_lse_cp
+
+
+def _get_bwd3db_lse_cp():
+    global _bwd3db_lse_cp
+    if _bwd3db_lse_cp is None:
+        _bwd3db_lse_cp = _make_cp(
+            lambda qkv, mask, lse, g, heads, interpret, interleaved:
+            _bwd_pallas3_db_lse(qkv, mask, lse, g, heads, interpret),
+            _bwd3db_lse_infer, _bwd3db_lse_partition,
+            "B l d, m n, h B q, B l e -> t B l f, p r s", 4,
+        )
+    return _bwd3db_lse_cp
+
+
 def _bwd3dx_infer(heads, interpret, interleaved, mesh, arg_shapes,
                   result_shape):
     from jax.sharding import NamedSharding
@@ -1305,12 +1614,16 @@ def _qkv_attn_fwd(x, w, b, mask, heads, interpret):
     had_mask = mask is not None
     m = (mask if had_mask
          else jnp.zeros((x.shape[1], x.shape[1]), jnp.float32))
-    out = _get_fwd_cp()(qkv, m, heads, interpret, False)
-    return out, (x, w, qkv, m, had_mask)
+    if SAVE_LSE and _lse_ok(qkv, heads):
+        out, lse = _get_fwd_lse_cp()(qkv, m, heads, interpret, False)
+    else:
+        out = _get_fwd_cp()(qkv, m, heads, interpret, False)
+        lse = None
+    return out, (x, w, qkv, m, lse, had_mask)
 
 
 def _qkv_attn_bwd(heads, interpret, res, g):
-    x, w, qkv, m, had_mask = res
+    x, w, qkv, m, lse, had_mask = res
     din = w.shape[0]
     db_raw = None
     if BWD_FUSE == "dxdb":
@@ -1319,7 +1632,11 @@ def _qkv_attn_bwd(heads, interpret, res, g):
         )
         dx = dx.astype(x.dtype)
     else:
-        if BWD_FUSE == "db":
+        if BWD_FUSE == "db" and lse is not None:
+            d3, db_raw = _get_bwd3db_lse_cp()(
+                qkv, m, lse, g, heads, interpret, False
+            )
+        elif BWD_FUSE == "db":
             d3, db_raw = _get_bwd3db_cp()(qkv, m, g, heads, interpret, False)
         else:
             d3 = _get_bwd3_cp()(qkv, m, g, heads, interpret, False)

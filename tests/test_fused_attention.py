@@ -180,7 +180,7 @@ def test_model_level_parity_interleaved(rng):
 
 
 def test_fast_softmax_parity(rng):
-    """FAST_SOFTMAX (fixed-shift exp, post-dot normalization) is exactly
+    """FAST_SOFTMAX (rowmax-shifted exp, post-dot normalization) is exactly
     softmax in real arithmetic; fwd+grad must match within fp32 rounding."""
     from spatial_clip_tpu.ops import fused_attention as fa
 
@@ -204,6 +204,47 @@ def test_fast_softmax_parity(rng):
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_fast_softmax_overflow_robust(rng):
+    """Scores far beyond the fp32 exp range (the regime that NaN'd the
+    retired fixed-shift formulation at +108) must stay finite and exact:
+    qkv scaled so raw scores reach ~1e4."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    B, L, D, H = 2, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D) * 40.0  # scores ~ (40 n)^2/8 >> 108
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(q):
+        return ((fused_attention(q, mask, H, True) - tgt) ** 2).sum()
+
+    assert fa.FAST_SOFTMAX and not fa.FIXED_SHIFT  # shipped default
+    out = fused_attention(qkv, mask, H, True)
+    g = jax.grad(loss)(qkv)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(g)).all()
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fixed_shift_knob_parity(rng):
+    """The retired FIXED_SHIFT formulation still matches exact softmax on
+    in-range scores (ships as the '~shift' A/B arm)."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    B, L, D, H = 4, 9, 128, 2
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    prev = fa.FIXED_SHIFT
+    fa.FIXED_SHIFT = True
+    try:
+        out = fused_attention(qkv, mask, H, True)
+    finally:
+        fa.FIXED_SHIFT = prev
+    ref = reference_attention(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 # ---------------------------------------------------------------------------

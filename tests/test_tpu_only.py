@@ -67,3 +67,39 @@ def test_train_step_on_tpu_decreases_loss():
             first = float(np.asarray(m["loss"]))
     final = float(np.asarray(m["loss"]))
     assert final < first
+
+
+@RunIf(tpu=True)
+def test_qkv_attention_lse_compiled_on_tpu():
+    """The default saved-lse projection-fused attention (pallas3 + BWD_FUSE
+    'db' + SAVE_LSE) compiles and matches reference grads on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    rng = np.random.default_rng(0)
+    B, L, Din, D, H = 16, 50, 768, 768, 12
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.02)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.02)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def ref(x, w, b):
+        return fa.reference_attention(x @ w + b, None, H)
+
+    def loss_k(args):
+        return ((fa.qkv_attention(*args, None, H, False) - tgt) ** 2).sum()
+
+    def loss_r(args):
+        return ((ref(*args) - tgt) ** 2).sum()
+
+    assert fa.SAVE_LSE and fa.BWD_FUSE == "db"
+    out = np.asarray(fa.qkv_attention(x, w, b, None, H, False))
+    np.testing.assert_allclose(out, np.asarray(ref(x, w, b)), atol=2e-2,
+                               rtol=1e-2)
+    g = jax.jit(jax.grad(loss_k))((x, w, b))
+    g_ref = jax.grad(loss_r)((x, w, b))
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-1,
+                                   rtol=2e-2)
