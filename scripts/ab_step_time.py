@@ -46,8 +46,9 @@ def build(arm: str, batch: int, model: str):
     # builds so earlier arms' overrides don't leak)
     if not hasattr(build, "_cap_defaults"):
         build._cap_defaults = (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP,
-                               fa.GROUP_LANES, fa.VMEM_LIMIT_BYTES)
-    (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP, fa.GROUP_LANES,
+                               fa.GROUP_LANES, fa.FWD_LANES,
+                               fa.VMEM_LIMIT_BYTES)
+    (fa.FWD_BLOCK_CAP, fa.BWD_BLOCK_CAP, fa.GROUP_LANES, fa.FWD_LANES,
      fa.VMEM_LIMIT_BYTES) = build._cap_defaults
 
     # '^pack'/'^nopack' pin the packed head-pair variant per arm
@@ -135,6 +136,12 @@ def build(arm: str, batch: int, model: str):
     m = _re.search(r"\^bwd(\d+)", name)
     if m:
         fa.BWD_BLOCK_CAP = int(m.group(1))
+        name = name.replace(m.group(0), "")
+    # '^flanesN' pins the FORWARD-only lane width (full-width fwd groups,
+    # shape-aware bwd); must be matched before the '^lanesN' substring
+    m = _re.search(r"\^flanes(\d+)", name)
+    if m:
+        fa.FWD_LANES = int(m.group(1))
         name = name.replace(m.group(0), "")
     # '^lanesN' pins the head-group lane width (fewer, fatter grid steps)
     m = _re.search(r"\^lanes(\d+)", name)

@@ -537,6 +537,12 @@ BWD_BLOCK_CAP = None
 # conservative 128 — any geometry it accepts is feasible at either width
 # (heads_per_block halves hpb until it divides heads).
 GROUP_LANES = None
+# Forward-only lane-width override (A/B arm '^flanesN'). The fwd kernel's
+# VMEM footprint is ~3x smaller than the backward's, so it can afford
+# full-width groups (ONE head group per batch block = fewest grid steps —
+# the zip study showed the boundary tax is per-GRID-STEP) while the
+# backward keeps the shape-aware width. None = follow GROUP_LANES/_lanes_for.
+FWD_LANES = None
 _SHORT_SEQ = 128
 
 
@@ -746,9 +752,13 @@ def heads_per_block(heads: int, head_dim: int, lanes: int = None):
         return 1 if head_dim % 128 == 0 else None
     if 128 % head_dim != 0:
         return None
-    hpb = lanes // head_dim
-    while hpb > 1 and heads % hpb != 0:
-        hpb //= 2
+    # largest feasible group <= the requested width: a wider-than-tower
+    # request (e.g. flanes768 on an 8-head/512-lane text tower) degrades to
+    # the tower's own full width instead of collapsing to an infeasible
+    # 1-head group (which would force the XLA fallback)
+    hpb = min(lanes // head_dim, heads)
+    while hpb > 1 and (heads % hpb != 0 or (hpb * head_dim) % 128 != 0):
+        hpb -= 1
     if heads % hpb != 0 or (hpb * head_dim) % 128 != 0:
         return None
     return hpb
@@ -941,7 +951,7 @@ def _attn_fwd_impl(qkv, mask, heads, interpret, interleaved=False):
     if KERNEL_VARIANT == "slab" and not interleaved:
         return _fwd_pallas_slab(qkv, mask, heads, interpret)
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
-        qkv, heads, FWD_BLOCK_CAP, lanes=128 if interleaved else None)
+        qkv, heads, FWD_BLOCK_CAP, lanes=128 if interleaved else FWD_LANES)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)
@@ -1392,7 +1402,7 @@ def _lse_ok(qkv, heads):
 def _fwd_pallas_lse(qkv, mask, heads, interpret):
     """(out, lse) forward: the default group kernel + the logsumexp rows."""
     B, L, D, hd, hpb, lanes, n_groups, block_b, grid = _geometry(
-        qkv, heads, FWD_BLOCK_CAP)
+        qkv, heads, FWD_BLOCK_CAP, lanes=FWD_LANES)
     scale = hd ** -0.5
     if mask is None:
         mask = jnp.zeros((L, L), jnp.float32)

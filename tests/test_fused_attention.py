@@ -573,3 +573,87 @@ def test_fused_attention_t_sharded_batch(rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r), atol=2e-3,
                                rtol=1e-4)
+
+
+def test_heads_per_block_wide_request_degrades():
+    """A wider-than-tower lane request resolves to the largest feasible
+    group (the tower's own full width) instead of an infeasible 1-head
+    group / XLA fallback — e.g. flanes768 on the 8-head text tower."""
+    from spatial_clip_tpu.ops.fused_attention import heads_per_block
+
+    assert heads_per_block(12, 64, 768) == 12  # ViT-B vision: one group
+    assert heads_per_block(8, 64, 768) == 8    # CLIP text: degrades to 512
+    assert heads_per_block(12, 64, 384) == 6   # intermediate: two groups
+    assert heads_per_block(8, 64, 384) == 4    # 384->256 (8%6, 8%5 fail)
+    assert heads_per_block(12, 64, 256) == 4   # shape-aware default kept
+    assert heads_per_block(2, 16, 128) is None  # infeasible stays None
+
+
+@pytest.mark.parametrize("flanes,B,L,D,H", [
+    (768, 4, 13, 768, 12),  # vision-like: ONE full-width fwd group
+    (768, 4, 9, 512, 8),    # text-like: degrades to 512 (one group)
+    (384, 4, 11, 768, 12),  # two fwd groups, shape-aware bwd
+])
+def test_fwd_lanes_parity(rng, flanes, B, L, D, H):
+    """FWD_LANES (fwd-only full-width groups) is a pure scheduling knob:
+    fwd AND grad must match the reference exactly; bwd keeps its own
+    shape-aware geometry and consumes the fwd's saved lse regardless of
+    the fwd lane width."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+
+    qkv = _rand_qkv(rng, B, L, D)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(q):
+        return ((fused_attention(q, mask, H, True) - tgt) ** 2).sum()
+
+    prev = fa.FWD_LANES
+    fa.FWD_LANES = flanes
+    try:
+        out = fused_attention(qkv, mask, H, True)
+        g = jax.grad(loss)(qkv)
+    finally:
+        fa.FWD_LANES = prev
+    ref = reference_attention(qkv, mask, H)
+    g_ref = jax.grad(
+        lambda q: ((reference_attention(q, mask, H) - tgt) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_qkv_attention_fwd_lanes_parity(rng):
+    """FWD_LANES through the shipped default path (qkv_attention +
+    SAVE_LSE + BWD_FUSE='db'): the wide-lane fwd's saved lse must feed the
+    shape-aware bwd exactly — fwd/dx/dw/db all match the reference."""
+    from spatial_clip_tpu.ops import fused_attention as fa
+    from spatial_clip_tpu.ops.fused_attention import qkv_attention
+
+    B, L, Din, D, H = 4, 13, 128, 768, 12
+    x = jnp.asarray(rng.normal(size=(B, L, Din)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(Din, 3 * D)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((L, L), jnp.finfo(jnp.float32).min), k=1)
+    tgt = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+
+    def loss(args):
+        return ((qkv_attention(*args, mask, H, True) - tgt) ** 2).sum()
+
+    def loss_ref(args):
+        return ((_qkv_attn_ref(*args, mask, H) - tgt) ** 2).sum()
+
+    assert fa.SAVE_LSE and fa.BWD_FUSE == "db"  # shipped default
+    prev = fa.FWD_LANES
+    fa.FWD_LANES = 768
+    try:
+        out = qkv_attention(x, w, b, mask, H, True)
+        g = jax.grad(loss)((x, w, b))
+    finally:
+        fa.FWD_LANES = prev
+    ref = _qkv_attn_ref(x, w, b, mask, H)
+    g_ref = jax.grad(loss_ref)((x, w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    for a, r in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-2, rtol=1e-3)
