@@ -32,6 +32,7 @@ attention path); this is the TPU-native replacement.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -542,7 +543,10 @@ GROUP_LANES = None
 # full-width groups (ONE head group per batch block = fewest grid steps —
 # the zip study showed the boundary tax is per-GRID-STEP) while the
 # backward keeps the shape-aware width. None = follow GROUP_LANES/_lanes_for.
-FWD_LANES = None
+# Env override SPATIAL_CLIP_FWD_LANES pins it process-wide (bench/serve
+# pickup without code edits; same degradation rules as '^flanesN').
+FWD_LANES = (int(os.environ["SPATIAL_CLIP_FWD_LANES"])
+             if os.environ.get("SPATIAL_CLIP_FWD_LANES") else None)
 _SHORT_SEQ = 128
 
 
