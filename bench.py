@@ -107,15 +107,26 @@ def main():
         state, metrics = step(state, dbatch)
     float(np.asarray(metrics["loss"]))
 
+    # Median of >=3 independent windows: the pooled chip's load moves a
+    # single-window capture by +/-2% (sessions 5-7 ledger: 92.5-94.3 ms for
+    # the same stack) while the pass margin is 2.4%. The median of
+    # independent windows reflects the stack, not the pool. Each window is
+    # back-pressured and closed by its own value fetch.
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     n_calls = max(1, steps // scan)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        state, metrics = step(state, dbatch)
-    final_loss = float(np.asarray(metrics["loss"]))
-    dt = time.perf_counter() - t0
-
     steps = n_calls * scan
-    pairs_per_sec = B * steps / dt
+    window_ms = []
+    final_loss = 0.0
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, metrics = step(state, dbatch)
+        final_loss = float(np.asarray(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        window_ms.append(1000 * dt / steps)
+
+    step_ms = float(np.median(window_ms))
+    pairs_per_sec = B * 1000.0 / step_ms
     per_chip = pairs_per_sec / n_dev
     print(
         json.dumps(
@@ -140,7 +151,8 @@ def main():
                     ),
                     "global_batch": B,
                     "n_chips": n_dev,
-                    "step_ms": round(1000 * dt / steps, 2),
+                    "step_ms": round(step_ms, 2),
+                    "window_ms": [round(w, 2) for w in window_ms],
                     "loss": final_loss,
                 },
             }

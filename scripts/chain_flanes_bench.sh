@@ -3,8 +3,18 @@
 # winning arm, then capture a fresh 240-step bench.py number with the
 # winner pinned via SPATIAL_CLIP_FWD_LANES (no code edits needed).
 set -u
+# Guard against a missing/stale pid file: without this, an empty PID makes
+# the wait loop exit immediately and the chained bench would race the
+# still-running A/B job for the chip (the contention CLAUDE.md warns about).
+[ -f /tmp/ab_flanes.pid ] || { echo "no /tmp/ab_flanes.pid; refusing to chain" >&2; exit 1; }
 PID=$(cat /tmp/ab_flanes.pid)
+[ -n "$PID" ] || { echo "empty pid file; refusing to chain" >&2; exit 1; }
 while kill -0 "$PID" 2>/dev/null; do sleep 20; done
+# Trust the report only if it postdates the job we waited on.
+if [ reports/ab_flanes_r3s7.json -ot /tmp/ab_flanes.pid ]; then
+  echo "reports/ab_flanes_r3s7.json is older than the pid file; stale — aborting" >&2
+  exit 1
+fi
 cd /root/repo
 WINNER=$(python - <<'EOF'
 import json, sys

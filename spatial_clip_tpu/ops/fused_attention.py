@@ -545,8 +545,29 @@ GROUP_LANES = None
 # backward keeps the shape-aware width. None = follow GROUP_LANES/_lanes_for.
 # Env override SPATIAL_CLIP_FWD_LANES pins it process-wide (bench/serve
 # pickup without code edits; same degradation rules as '^flanesN').
-FWD_LANES = (int(os.environ["SPATIAL_CLIP_FWD_LANES"])
-             if os.environ.get("SPATIAL_CLIP_FWD_LANES") else None)
+def _parse_fwd_lanes(raw: str | None) -> int | None:
+    """Validate the SPATIAL_CLIP_FWD_LANES env override at import time.
+
+    Must be a positive multiple of 128 (the Mosaic lane width); anything
+    else would surface later as a ZeroDivisionError in heads_per_block or
+    a geometry assert deep in tracing. Fail here with a clear message.
+    """
+    if not raw:
+        return None
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"bad SPATIAL_CLIP_FWD_LANES={raw!r}: must be an integer "
+            "multiple of 128 (e.g. 128, 256, 512)") from None
+    if val <= 0 or val % 128:
+        raise ValueError(
+            f"bad SPATIAL_CLIP_FWD_LANES={val}: must be a positive "
+            "multiple of 128 (e.g. 128, 256, 512)")
+    return val
+
+
+FWD_LANES = _parse_fwd_lanes(os.environ.get("SPATIAL_CLIP_FWD_LANES"))
 _SHORT_SEQ = 128
 
 
