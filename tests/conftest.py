@@ -24,6 +24,33 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _ensure_native_built():
+    """Build the C++ data-loader core so its test doesn't skip.
+
+    ``make test`` already depends on the native target, but the suite is
+    also run as bare ``pytest tests/``; build here when a compiler exists
+    and fall back silently (the ctypes loader has a pure-Python fallback).
+    """
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    native = Path(__file__).resolve().parents[1] / "native"
+    if (native / "libspatialclip_native.so").is_file():
+        return
+    if not shutil.which("make") or not shutil.which("g++"):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(native)], check=True,
+            capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
+_ensure_native_built()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
