@@ -167,6 +167,26 @@ def create_model(
     through models.pretrained (download gated on network availability).
     """
     cfg = resolve_clip_cfg(model_name, **cfg_overrides)
+    # Registry tags pin checkpoint-specific contracts: QuickGELU activation
+    # and preprocessing (mean/std/interpolation/resize_mode — e.g. SigLIP
+    # tags require resize_mode='squash'). Ref: factory.py merges
+    # pretrained_cfg into the model + preprocess cfgs.
+    pp_overrides = {}
+    if pretrained:
+        from spatial_clip_tpu.models.pretrained import (
+            get_pretrained_cfg,
+            preprocess_overrides,
+        )
+
+        tag_cfg = get_pretrained_cfg(model_name, str(pretrained))
+        if tag_cfg is not None:
+            pp_overrides = preprocess_overrides(tag_cfg)
+            if tag_cfg.get("quick_gelu") and not cfg.quick_gelu:
+                log.warning(
+                    "Pretrained tag %s:%s was trained with QuickGELU; "
+                    "enabling it (use the '-quickgelu' model name to make "
+                    "this explicit).", model_name, pretrained)
+                cfg.quick_gelu = True
     if force_quick_gelu:
         cfg.quick_gelu = True
     if init_logit_scale is not None:
@@ -191,11 +211,14 @@ def create_model(
     if pretrained:
         params = load_checkpoint(params, pretrained, model_name=model_name)
 
-    pp = PreprocessCfg(
+    pp_kw = dict(
         size=cfg.vision_cfg.image_size,
         mean=OPENAI_DATASET_MEAN,
         std=OPENAI_DATASET_STD,
     )
+    for k, v in pp_overrides.items():
+        pp_kw[k] = tuple(v) if isinstance(v, list) else v
+    pp = PreprocessCfg(**pp_kw)
     return ModelBundle(
         model=model, params=params, cfg=cfg, model_name=model_name, preprocess_cfg=pp
     )
@@ -255,6 +278,7 @@ def create_model_and_transforms(
     image_mean: Optional[Tuple[float, ...]] = None,
     image_std: Optional[Tuple[float, ...]] = None,
     image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
     aug_cfg: Optional[Union[dict, AugmentationCfg]] = None,
     seed: int = 0,
     **model_kwargs,
@@ -267,12 +291,14 @@ def create_model_and_transforms(
     mean = tuple(image_mean) if image_mean else pp.mean
     std = tuple(image_std) if image_std else pp.std
     interp = image_interpolation or pp.interpolation
+    resize_mode = image_resize_mode or pp.resize_mode
     train_t = image_transform(
         pp.size, is_train=True, mean=mean, std=std, interpolation=interp,
         aug_cfg=aug_cfg, seed=seed,
     )
     val_t = image_transform(
-        pp.size, is_train=False, mean=mean, std=std, interpolation=interp
+        pp.size, is_train=False, mean=mean, std=std, interpolation=interp,
+        resize_mode=resize_mode, fill_color=pp.fill_color,
     )
     return bundle, train_t, val_t
 

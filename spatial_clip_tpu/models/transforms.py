@@ -93,6 +93,45 @@ def _resize_shortest(img: Image.Image, size: Tuple[int, int], interp) -> Image.I
     return img.resize((max(tw, round(w * scale)), max(th, round(h * scale))), interp)
 
 
+def _resize_keep_ratio(
+    img: Image.Image, size: Tuple[int, int], interp, longest: float = 0.0
+) -> Image.Image:
+    """Aspect-preserving resize interpolating between "cover" and "fit".
+
+    ``longest=0`` scales so the image covers the target (ratio driven by the
+    smaller per-axis ratio); ``longest=1`` scales so it fits within the
+    target (ratio driven by the larger per-axis ratio). Matches the
+    reference's ResizeKeepRatio semantics (ref: transform.py:77-93).
+    """
+    w, h = img.size
+    th, tw = size
+    ratio_h, ratio_w = h / th, w / tw
+    ratio = max(ratio_h, ratio_w) * longest + min(ratio_h, ratio_w) * (1.0 - longest)
+    return img.resize((round(w / ratio), round(h / ratio)), interp)
+
+
+def _center_crop_or_pad(
+    img: Image.Image, size: Tuple[int, int], fill: int = 0
+) -> Image.Image:
+    """Center-crop to ``size``, padding with ``fill`` where the image is
+    smaller than the target (ref: transform.py:95-133)."""
+    th, tw = size
+    w, h = img.size
+    if tw > w or th > h:
+        pad_left = (tw - w) // 2 if tw > w else 0
+        pad_top = (th - h) // 2 if th > h else 0
+        nw, nh = max(tw, w), max(th, h)
+        canvas = Image.new(img.mode, (nw, nh), tuple([fill] * len(img.getbands())))
+        canvas.paste(img, (pad_left, pad_top))
+        img = canvas
+        w, h = img.size
+        if w == tw and h == th:
+            return img
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
+    return img.crop((left, top, left + tw, top + th))
+
+
 class HostImageTransform:
     """PIL -> HWC uint8 at the model input size.
 
@@ -142,8 +181,21 @@ class HostImageTransform:
         if self.is_train:
             img = self._random_resized_crop(img)
         elif img.size != (tw, th):
-            img = _resize_shortest(img, (th, tw), self.interp)
-            img = _center_crop(img, (th, tw))
+            mode = self.cfg.resize_mode
+            if mode == "squash":
+                # distorting exact resize (ref: transform.py:216-219;
+                # SigLIP tags pin this, pretrained.py:61)
+                img = img.resize((tw, th), self.interp)
+            elif mode == "longest":
+                # fit-within + center pad with fill_color
+                # (ref: transform.py:214-215)
+                img = _resize_keep_ratio(img, (th, tw), self.interp, longest=1.0)
+                img = _center_crop_or_pad(img, (th, tw), fill=self.cfg.fill_color)
+            else:
+                if mode != "shortest":
+                    raise ValueError(f"unknown resize_mode: {mode!r}")
+                img = _resize_shortest(img, (th, tw), self.interp)
+                img = _center_crop(img, (th, tw))
         return np.asarray(img, dtype=np.uint8)
 
 
@@ -235,10 +287,23 @@ def image_transform(
     mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
     std: Tuple[float, ...] = OPENAI_DATASET_STD,
     interpolation: str = "bicubic",
+    resize_mode: str = "shortest",
+    fill_color: int = 0,
     aug_cfg: Optional[Union[dict, AugmentationCfg]] = None,
     seed: Optional[int] = None,
 ) -> HostImageTransform:
     """Factory with the reference's signature shape (ref: transform.py:135)."""
     cfg = PreprocessCfg(size=image_size, mean=tuple(mean), std=tuple(std),
-                        interpolation=interpolation)
+                        interpolation=interpolation, resize_mode=resize_mode,
+                        fill_color=fill_color)
+    return HostImageTransform(cfg, is_train=is_train, aug=aug_cfg, seed=seed)
+
+
+def image_transform_v2(
+    cfg: PreprocessCfg,
+    is_train: bool = False,
+    aug_cfg: Optional[Union[dict, AugmentationCfg]] = None,
+    seed: Optional[int] = None,
+) -> HostImageTransform:
+    """Build a transform directly from a PreprocessCfg (ref: transform.py:234)."""
     return HostImageTransform(cfg, is_train=is_train, aug=aug_cfg, seed=seed)
