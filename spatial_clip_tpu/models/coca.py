@@ -296,6 +296,161 @@ def beam_search_generate(
     return jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
 
 
+def _top_k_warp(logits: jnp.ndarray, k: int, neg: float = -1e9) -> jnp.ndarray:
+    """Keep the k most probable tokens (ref: coca_model.py:32-40
+    TopKLogitsWarper semantics; ties at the threshold are all kept)."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, neg, logits)
+
+
+def _top_p_warp(
+    logits: jnp.ndarray, p: float, min_tokens_to_keep: int = 1, neg: float = -1e9
+) -> jnp.ndarray:
+    """Nucleus filtering: drop the low-probability tail whose ascending
+    cumulative mass is <= 1-p (ref: coca_model.py:32-40 TopPLogitsWarper
+    semantics), always keeping at least ``min_tokens_to_keep`` tokens."""
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove = cum <= (1.0 - p)
+    remove = remove.at[..., -min_tokens_to_keep:].set(False)
+    kept_min = jnp.min(
+        jnp.where(remove, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < kept_min, neg, logits)
+
+
+def sample_generate(
+    model: CoCa,
+    params,
+    images: jnp.ndarray,
+    sot_token: int,
+    eot_token: int,
+    rng: jax.Array,
+    max_len: int = 30,
+    generation_type: str = "top_p",
+    top_p: float = 0.1,
+    top_k: int = 1,
+    temperature: float = 1.0,
+    min_seq_len: int = 5,
+    repetition_penalty: float = 1.0,
+    pad_token: int = 0,
+) -> jnp.ndarray:
+    """Sampled caption decoding with top-k / top-p logit warping as one
+    jittable ``lax.scan`` (ref: coca_model.py:286-413 ``generate`` with
+    TopK/TopPLogitsWarper + MinLength/RepetitionPenalty processors).
+
+    TPU-native formulation: static shapes (seq buffer is context_length),
+    warpers are sort/top_k-based masks, the per-row "finished" state emits
+    pad, and the final step forces EOS — all inside the scan so the whole
+    decode is one compiled program.
+    """
+    if generation_type not in ("top_p", "top_k"):
+        raise ValueError(
+            "generation_type has to be one of | top_k | top_p | beam_search |."
+        )
+
+    def apply_decode(text_in, tokens):
+        return model.apply({"params": params}, text_in, tokens, method=CoCa.decode)
+
+    image_tokens = model.apply(
+        {"params": params}, images, method=CoCa._encode_image_full
+    )[1]
+    B = images.shape[0]
+    ctx_len = model.cfg.text_cfg.context_length
+    vocab = model.cfg.text_cfg.vocab_size
+    NEG = -1e9
+    n_steps = min(max_len, ctx_len - 1)
+
+    def step(carry, i):
+        seq, done, key = carry
+        key, sub = jax.random.split(key)
+        logits = apply_decode(seq[:, : ctx_len - 1], image_tokens)
+        logits = logits[:, i].astype(jnp.float32)
+        # MinLengthLogitsProcessor: no EOS before min_seq_len tokens
+        logits = jnp.where(
+            (i + 1 < min_seq_len)
+            & (jnp.arange(vocab)[None, :] == eot_token),
+            NEG,
+            logits,
+        )
+        if repetition_penalty != 1.0:
+            # presence of each token in the generated prefix (positions
+            # <= i); OOB sentinel column keeps masked positions out
+            valid = jnp.arange(ctx_len)[None, :] <= i
+            idx = jnp.where(valid, seq, vocab)
+            presence = (
+                jnp.zeros((B, vocab + 1), bool)
+                .at[jnp.arange(B)[:, None], idx]
+                .set(True)[:, :vocab]
+            )
+            penalized = jnp.where(
+                logits > 0, logits / repetition_penalty, logits * repetition_penalty
+            )
+            logits = jnp.where(presence, penalized, logits)
+        if generation_type == "top_k":
+            logits = _top_k_warp(logits, top_k, NEG)
+        else:
+            logits = _top_p_warp(logits, top_p, neg=NEG)
+        next_tok = jax.random.categorical(sub, logits / temperature, axis=-1)
+        next_tok = next_tok.astype(jnp.int32)
+        # the final emitted token is forced to EOS (ref: cur_len+1==seq_len)
+        next_tok = jnp.where(i == n_steps - 1, eot_token, next_tok)
+        next_tok = jnp.where(done, pad_token, next_tok)
+        seq = jax.lax.dynamic_update_slice(seq, next_tok[:, None], (0, i + 1))
+        done = done | (next_tok == eot_token)
+        return (seq, done, key), None
+
+    seq0 = jnp.zeros((B, ctx_len), jnp.int32).at[:, 0].set(sot_token)
+    (seq, _, _), _ = jax.lax.scan(
+        step, (seq0, jnp.zeros((B,), bool), rng), jnp.arange(n_steps)
+    )
+    return seq
+
+
+def generate(
+    model: CoCa,
+    params,
+    images: jnp.ndarray,
+    sot_token: int = 49406,
+    eot_token: int = 49407,
+    seq_len: int = 30,
+    generation_type: str = "beam_search",
+    rng: Optional[jax.Array] = None,
+    top_p: float = 0.1,
+    top_k: int = 1,
+    temperature: float = 1.0,
+    num_beams: int = 6,
+    min_seq_len: int = 5,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Unified generation dispatcher mirroring the reference's surface
+    (ref: coca_model.py:286-340): beam_search / top_k / top_p, plus
+    'greedy' as a TPU-native extra. Sampled types need ``rng``."""
+    if generation_type == "beam_search":
+        return beam_search_generate(
+            model, params, images, sot_token, eot_token,
+            max_len=seq_len, beam_size=num_beams, length_penalty=length_penalty,
+        )
+    if generation_type == "greedy":
+        return greedy_generate(
+            model, params, images, sot_token, eot_token, max_len=seq_len
+        )
+    if generation_type in ("top_k", "top_p"):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return sample_generate(
+            model, params, images, sot_token, eot_token, rng,
+            max_len=seq_len, generation_type=generation_type,
+            top_p=top_p, top_k=top_k, temperature=temperature,
+            min_seq_len=min_seq_len, repetition_penalty=repetition_penalty,
+        )
+    raise ValueError(
+        "generation_type has to be one of "
+        "| greedy | top_k | top_p | beam_search |."
+    )
+
+
 def greedy_generate(
     model: CoCa,
     params,

@@ -507,12 +507,22 @@ class Trainer:
             loss, (features, logits) = self._loss_and_metrics(
                 state.params, batch, jax.random.PRNGKey(0), deterministic=True
             )
-            return {
+            out = {
                 "loss": loss,
                 "logits": logits,
                 "image_features": features["image_features"],
                 "text_features": features["text_features"],
             }
+            if "caption_logits" in features:
+                # CoCa bundles: caption CE on the val split
+                # (ref: open_clip_train/train.py:324-360
+                # maybe_compute_generative_loss -> val_generative_loss)
+                from spatial_clip_tpu.models.coca import coca_caption_loss
+
+                out["generative_loss"] = coca_caption_loss(
+                    features["caption_logits"], features["caption_labels"]
+                )
+            return out
 
         if self._tp:
             return jax.jit(eval_fn, in_shardings=(None, self._batch_sh))
@@ -701,12 +711,15 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self.make_eval_step()
         losses, img_feats, txt_feats = [], [], []
+        gen_losses = []
         mstate = self.metrics.init()
         n_batches = 0
         for batch in val_iter:
             dbatch = self._device_batch(batch)
             out = self._eval_step(state, dbatch)
             losses.append(float(out["loss"]))
+            if "generative_loss" in out:
+                gen_losses.append(float(out["generative_loss"]))
             img_feats.append(np.asarray(out["image_features"]))
             txt_feats.append(np.asarray(out["text_features"]))
             logits = out["logits"]
@@ -718,6 +731,8 @@ class Trainer:
             log.warning("evaluation split produced zero batches (split smaller than batch size?)")
             return {}
         result = {"loss": float(np.mean(losses))}
+        if gen_losses:
+            result["val_generative_loss"] = float(np.mean(gen_losses))
         result.update(self.metrics.compute(mstate))
         img = np.concatenate(img_feats)
         txt = np.concatenate(txt_feats)
