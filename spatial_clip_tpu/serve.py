@@ -1,23 +1,38 @@
-"""Batched embedding server: the production serving surface.
+"""Batched embedding server (single-chip serving surface).
 
-The reference ships no serving stack; this is the TPU-native one the brief's
-"large-scale production deployment and serving" requires. One process owns
-the chip; requests are micro-batched into fixed-shape jitted encoder calls
-(XLA compiles once per shape — padding to a fixed batch keeps every request
-on the cached executable).
+The reference ships no serving stack; this is the TPU-native one. One
+process owns the chip (JAX holds the device exclusively — run exactly one
+server per chip; scale horizontally with one process per chip behind an
+external load balancer). Requests are micro-batched into fixed-shape
+jitted encoder calls (XLA compiles once per shape — padding to a fixed
+batch keeps every request on the cached executable).
+
+Scope honesty: the HTTP front is stdlib ``ThreadingHTTPServer`` — fine for
+single-tenant/internal serving (the chip, not the socket layer, is the
+bottleneck: 14.3k tiles/sec bf16 at ViT-B/32 vs trivial JSON overhead),
+but it does no TLS, auth, or connection pooling; front it with a real
+ingress for anything public.
 
     python -m spatial_clip_tpu.serve --model ViT-B-32 --port 8764
     curl -X POST localhost:8764/embed_text -d '{"texts": ["a cat"]}'
     curl -X POST localhost:8764/embed_image -d '{"images_b64": ["<png>"]}'
     curl localhost:8764/healthz
+    curl localhost:8764/metrics
 
 Endpoints:
 - ``POST /embed_text``  {"texts": [str, ...]} -> {"embeddings": [[...], ...]}
 - ``POST /embed_image`` {"images_b64": [base64-png, ...]} -> embeddings
 - ``GET  /healthz``     liveness + model metadata
+- ``GET  /metrics``     request counts, QPS, batch fill, p50/p99 latency
 
-Serving-path performance on one v5e chip: 14.3k tiles/sec bf16 at ViT-B/32,
-int8 MLP path 1.1x at ViT-L (scripts/bench_inference.py, docs/experiments.md).
+Operational limits (all configurable): request bodies over
+``--max-body-bytes`` are rejected 413; more than ``--max-items`` items per
+request is 413; when ``--max-inflight`` requests are already queued on the
+chip lock, new work is rejected 503 (backpressure — retry with jitter).
+
+Serving-path performance on one v5e chip: 14.3k tiles/sec bf16 at
+ViT-B/32, int8 MLP path 1.1x at ViT-L (scripts/bench_inference.py,
+docs/experiments.md).
 """
 from __future__ import annotations
 
@@ -27,12 +42,68 @@ import io
 import json
 import logging
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 log = logging.getLogger(__name__)
+
+
+class ServerMetrics:
+    """Thread-safe rolling request metrics for the /metrics endpoint."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)  # (t_done, latency_s)
+        self._fill = deque(maxlen=window)  # batch fill ratio per encode
+        self.requests_total = 0
+        self.items_total = 0
+        self.errors_total = 0
+        self.rejected_total = 0
+        self._t0 = time.monotonic()
+
+    def observe(self, latency_s: float, n_items: int):
+        with self._lock:
+            self.requests_total += 1
+            self.items_total += n_items
+            self._lat.append((time.monotonic(), latency_s))
+
+    def observe_fill(self, fill: float):
+        with self._lock:
+            self._fill.append(fill)
+
+    def error(self):
+        with self._lock:
+            self.errors_total += 1
+
+    def rejected(self):
+        with self._lock:
+            self.rejected_total += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            now = time.monotonic()
+            lats = sorted(l for _, l in self._lat)
+            recent = [t for t, _ in self._lat if now - t <= 60.0]
+            qps = len(recent) / min(60.0, max(now - self._t0, 1e-9))
+            pct = lambda p: (  # noqa: E731
+                round(1000 * lats[min(len(lats) - 1, int(p * len(lats)))], 2)
+                if lats else None)
+            return {
+                "requests_total": self.requests_total,
+                "items_total": self.items_total,
+                "errors_total": self.errors_total,
+                "rejected_total": self.rejected_total,
+                "qps_1m": round(qps, 3),
+                "latency_ms_p50": pct(0.50),
+                "latency_ms_p99": pct(0.99),
+                "batch_fill_mean": (
+                    round(float(np.mean(self._fill)), 4) if self._fill else None),
+                "uptime_s": round(now - self._t0, 1),
+            }
 
 
 class EmbeddingService:
@@ -46,6 +117,7 @@ class EmbeddingService:
         precision: str = "bf16",
         mlp_impl: str = "dense",
         platform: Optional[str] = None,
+        max_inflight: int = 32,
     ):
         import jax
 
@@ -55,7 +127,7 @@ class EmbeddingService:
 
         from spatial_clip_tpu import create_model, get_tokenizer
         from spatial_clip_tpu.models.transforms import (
-            image_transform,
+            image_transform_v2,
             normalize_batch,
         )
 
@@ -65,11 +137,10 @@ class EmbeddingService:
             seed=0, mlp_impl=mlp_impl,
         )
         self.tokenizer = get_tokenizer(model_name)
-        self.preprocess = image_transform(
-            self.bundle.cfg.vision_cfg.image_size, is_train=False,
-            mean=self.bundle.preprocess_cfg.mean,
-            std=self.bundle.preprocess_cfg.std,
-        )
+        # honors the bundle's full preprocess contract incl. resize_mode
+        # (e.g. SigLIP tags pin 'squash') and fill_color
+        self.preprocess = image_transform_v2(
+            self.bundle.preprocess_cfg, is_train=False)
         model, params = self.bundle.model, self.bundle.params
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -88,8 +159,11 @@ class EmbeddingService:
         self._enc_img = jax.jit(enc_img)
         self._enc_txt = jax.jit(enc_txt)
         self._params = params
-        # one encoder call at a time — the chip is the serialized resource
+        # one encoder call at a time — the chip is the serialized resource;
+        # the semaphore bounds the queue depth behind it (backpressure)
         self._lock = threading.Lock()
+        self._inflight = threading.BoundedSemaphore(max_inflight)
+        self.metrics = ServerMetrics()
 
     def _batched(self, encode, arr: np.ndarray) -> np.ndarray:
         """Pad to the fixed batch (one cached executable) and slice back."""
@@ -98,14 +172,23 @@ class EmbeddingService:
         with self._lock:
             for lo in range(0, n, self.batch_size):
                 chunk = arr[lo: lo + self.batch_size]
-                pad = self.batch_size - len(chunk)
+                real = len(chunk)
+                pad = self.batch_size - real
                 if pad:
                     chunk = np.concatenate(
                         [chunk, np.repeat(chunk[-1:], pad, axis=0)]
                     )
                 emb = np.asarray(encode(self._params, chunk), dtype=np.float32)
-                out.append(emb[: len(arr[lo: lo + self.batch_size])])
+                out.append(emb[:real])
+                self.metrics.observe_fill(real / self.batch_size)
         return np.concatenate(out, axis=0)
+
+    def acquire_slot(self) -> bool:
+        """Non-blocking admission; False = saturated (caller replies 503)."""
+        return self._inflight.acquire(blocking=False)
+
+    def release_slot(self):
+        self._inflight.release()
 
     def embed_texts(self, texts) -> np.ndarray:
         ids = np.asarray(self.tokenizer(list(texts)), dtype=np.int32)
@@ -129,7 +212,8 @@ class EmbeddingService:
         }
 
 
-def make_handler(service: EmbeddingService):
+def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
+                 max_items: int = 1024):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route to logging, not stderr
             log.debug(fmt, *args)
@@ -145,28 +229,67 @@ def make_handler(service: EmbeddingService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok", **service.metadata()})
+            elif self.path == "/metrics":
+                self._reply(200, service.metrics.snapshot())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self._reply(400, {"error": "bad Content-Length"})
+            if n > max_body_bytes:
+                service.metrics.rejected()
+                return self._reply(413, {
+                    "error": f"request body {n} bytes exceeds limit "
+                             f"{max_body_bytes}"})
+            try:
                 req = json.loads(self.rfile.read(n) or b"{}")
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                service.metrics.error()
+                return self._reply(400, {"error": f"invalid JSON: {e}"})
+            if self.path == "/embed_text":
+                items = req.get("texts")
+            elif self.path == "/embed_image":
+                items = req.get("images_b64")
+            else:
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            if not isinstance(items, list) or not items:
+                service.metrics.error()
+                return self._reply(400, {
+                    "error": "expected a non-empty list under 'texts' / "
+                             "'images_b64'"})
+            if len(items) > max_items:
+                service.metrics.rejected()
+                return self._reply(413, {
+                    "error": f"{len(items)} items exceeds per-request limit "
+                             f"{max_items}; split the request"})
+            if not service.acquire_slot():
+                service.metrics.rejected()
+                return self._reply(503, {
+                    "error": "server saturated; retry with backoff"})
+            try:
                 if self.path == "/embed_text":
-                    emb = service.embed_texts(req["texts"])
-                elif self.path == "/embed_image":
-                    emb = service.embed_images_b64(req["images_b64"])
+                    emb = service.embed_texts(items)
                 else:
-                    return self._reply(404, {"error": f"unknown path {self.path}"})
+                    emb = service.embed_images_b64(items)
+                service.metrics.observe(time.monotonic() - t0, len(items))
                 self._reply(200, {"embeddings": emb.tolist()})
             except Exception as e:  # noqa: BLE001 — error surface per request
+                service.metrics.error()
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                service.release_slot()
 
     return Handler
 
 
-def serve(service: EmbeddingService, host: str = "127.0.0.1", port: int = 8764):
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+def serve(service: EmbeddingService, host: str = "127.0.0.1", port: int = 8764,
+          max_body_bytes: int = 32 * 2 ** 20, max_items: int = 1024):
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(service, max_body_bytes, max_items))
     log.info("serving %s on %s:%d", service.metadata(), host, port)
     server.serve_forever()
 
@@ -182,14 +305,18 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8764)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--max-body-bytes", type=int, default=32 * 2 ** 20)
+    ap.add_argument("--max-items", type=int, default=1024)
+    ap.add_argument("--max-inflight", type=int, default=32)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     service = EmbeddingService(
         args.model, pretrained=args.pretrained, batch_size=args.batch_size,
         precision=args.precision, mlp_impl=args.mlp_impl,
-        platform=args.platform,
+        platform=args.platform, max_inflight=args.max_inflight,
     )
-    serve(service, args.host, args.port)
+    serve(service, args.host, args.port,
+          max_body_bytes=args.max_body_bytes, max_items=args.max_items)
 
 
 if __name__ == "__main__":
