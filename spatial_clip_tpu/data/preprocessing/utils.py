@@ -101,6 +101,16 @@ def load_single_sample_adata(sample, batch_key: str = "sample_id") -> AnnDataLit
     adata = sample.load_adata()
     adata.obs[batch_key] = [sample.sample_id] * adata.n_obs
     adata.obs_names = [f"{sample.sample_id}_{i}" for i in range(adata.n_obs)]
+    # Canonicalize spot coordinates into obs.pxl_{col,row}_in_fullres BEFORE
+    # the cross-sample concat: a sample carrying only obsm['spatial'] (one
+    # of HEST's conventions, ref anndata_utils.py:5-34) would otherwise end
+    # up with NaN pxl_* columns after an outer obs merge with samples that
+    # have them, silently poisoning its tile extraction.
+    if ("pxl_col_in_fullres" not in adata.obs.columns
+            or "pxl_row_in_fullres" not in adata.obs.columns):
+        coords = get_spot_coordinates(adata)
+        adata.obs["pxl_col_in_fullres"] = coords[:, 0]
+        adata.obs["pxl_row_in_fullres"] = coords[:, 1]
     return adata
 
 

@@ -32,7 +32,14 @@ class HESTSample:
 
     @property
     def adata_path(self) -> Path:
-        return self.root / "st" / f"{self.sample_id}.h5ad"
+        p = self.root / "st" / f"{self.sample_id}.h5ad"
+        if not p.exists():
+            # flexible match, like the reference's glob fallback
+            # (ref: hest_loading.py:465-470 "*{sid}*.h5ad")
+            cands = sorted((self.root / "st").glob(f"*{self.sample_id}*.h5ad"))
+            if cands:
+                return cands[0]
+        return p
 
     @property
     def wsi_path(self) -> Optional[Path]:
@@ -53,6 +60,31 @@ class HESTSample:
     @property
     def metadata_path(self) -> Path:
         return self.root / "metadata" / f"{self.sample_id}.json"
+
+    @property
+    def patches_dir(self) -> Optional[Path]:
+        """Per-sample patches directory (ref: hest_loading.py:478-480)."""
+        p = self.root / "patches" / self.sample_id
+        return p if p.is_dir() else None
+
+    @property
+    def transcripts_path(self) -> Optional[Path]:
+        """First <root>/transcripts/<ID>*.parquet (ref: hest_loading.py:483-485)."""
+        cands = sorted(
+            (self.root / "transcripts").glob(f"{self.sample_id}*.parquet"))
+        return cands[0] if cands else None
+
+    @property
+    def spatial_plot_path(self) -> Optional[Path]:
+        """Pre-rendered <root>/spatial_plots/<ID>_spatial_plots.png
+        (ref: hest_loading.py:487-489)."""
+        p = self.root / "spatial_plots" / f"{self.sample_id}_spatial_plots.png"
+        return p if p.exists() else None
+
+    def list_patches(self) -> List[Path]:
+        """*.h5 patch files in the sample's patches dir (ref: :295-304)."""
+        d = self.patches_dir
+        return sorted(d.glob("*.h5")) if d else []
 
     def load_adata(self):
         from spatial_clip_tpu.data.spaglam.anndata_lite import AnnDataLite
@@ -147,12 +179,18 @@ class HESTDataset:
         idc = self._col("sample_id")
         out = []
         for _, row in df.iterrows():
+            sid = str(row[idc])
+            metadata = row.to_dict()
+            # merge per-sample QC json over the CSV row (qc wins on shared
+            # keys, ref: hest_loading.py:491-506)
+            qc_path = self.data_dir / "metadata" / f"{sid}.json"
+            if qc_path.exists():
+                try:
+                    metadata.update(json.loads(qc_path.read_text()))
+                except (json.JSONDecodeError, OSError) as e:
+                    log.warning("bad QC json for %s: %s", sid, e)
             out.append(
-                HESTSample(
-                    sample_id=str(row[idc]),
-                    root=self.data_dir,
-                    metadata=row.to_dict(),
-                )
+                HESTSample(sample_id=sid, root=self.data_dir, metadata=metadata)
             )
         return out
 
