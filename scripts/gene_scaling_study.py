@@ -37,7 +37,13 @@ def run_arm(tower: str, spots: int, epochs: int, batch: int,
     from spatial_clip_tpu.models.tokenizer import GeneTokenizer, GeneVectorizer
     from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
 
-    if tower == "gene":
+    # 'linear' = bag-of-genes linear control tower (round-4 verdict #9):
+    # the same rank-weighted gene vector through a 0-block GeneMLPTower
+    # (Dense -> LN -> Dense, no nonlinearity). If the synthetic generator
+    # leaked structure that trivially favors vector towers, this arm would
+    # match the MLP; a large MLP-over-linear gap is the standard evidence
+    # that the MLP is learning non-trivial compositional structure.
+    if tower in ("gene", "linear"):
         tok = GeneVectorizer(synthetic_gene_list())
     else:
         tok = GeneTokenizer(synthetic_gene_list(), context_length=56)
@@ -53,12 +59,13 @@ def run_arm(tower: str, spots: int, epochs: int, batch: int,
     )
     vision = {"image_size": 64, "layers": 6, "width": 128, "patch_size": 16,
               "heads": 4}
-    if tower == "gene":
+    if tower in ("gene", "linear"):
+        layers = 0 if tower == "linear" else gene_layers
         bundle = create_model(
             "ViT-Test", precision="bf16", seed=seed, embed_dim=128,
             vision_cfg=vision,
             gene_cfg={"num_genes": tok.num_genes, "width": gene_width,
-                      "layers": gene_layers},
+                      "layers": layers},
         )
     else:
         bundle = create_model(
@@ -100,8 +107,9 @@ def run_arm(tower: str, spots: int, epochs: int, batch: int,
     out = {
         "tower": tower, "spots": spots, "steps": steps, "epochs": epochs,
         "generator": generator,
-        "gene_width": gene_width if tower == "gene" else None,
-        "gene_layers": gene_layers if tower == "gene" else None,
+        "gene_width": gene_width if tower in ("gene", "linear") else None,
+        "gene_layers": (0 if tower == "linear" else gene_layers)
+        if tower in ("gene", "linear") else None,
         "train_loss_curve": losses,
         "val": {k: round(float(v), 4) for k, v in val.items()},
         "elapsed_sec": round(elapsed, 1),
