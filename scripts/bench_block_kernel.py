@@ -93,11 +93,20 @@ def main():
                 p["bout"], mask, heads, interpret=interp)
 
         def make_arm(layer_fn):
+            # scan over stacked layer params: ONE traced/compiled kernel
+            # instance regardless of depth (an unrolled 12x4 chain produced
+            # a 57 MB MLIR payload that OOM-killed the remote compiler)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+
             def run(x):
-                for _ in range(args.reps):
-                    for p in params:
-                        x = layer_fn(x, p)
-                return x
+                def body(h, p):
+                    return layer_fn(h, p), None
+
+                def rep(_, h):
+                    return jax.lax.scan(body, h, stacked)[0]
+
+                return jax.lax.fori_loop(0, args.reps, rep, x)
+
             return jax.jit(run)
 
         arms = {"shipped": make_arm(shipped_layer), "block": make_arm(fused_layer)}

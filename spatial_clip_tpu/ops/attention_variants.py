@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 from spatial_clip_tpu.ops import fused_attention as _fa
 from spatial_clip_tpu.ops.fused_attention import (
     _batch_spec,
+    _bwd_compute,
+    _bwd_kernel,
+    _fwd_kernel,
+    _lanes_for,
     _bwd_cap,
     _default_cparams,
     _geometry,
