@@ -33,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spatial_clip_tpu.ops import fused_attention as _fa
+from spatial_clip_tpu.ops.attention_spmd import _batch_spec, _make_cp
 from spatial_clip_tpu.ops.fused_attention import (
-    _batch_spec,
     _bwd_compute,
     _bwd_kernel,
     _fwd_kernel,
@@ -42,7 +42,6 @@ from spatial_clip_tpu.ops.fused_attention import (
     _bwd_cap,
     _default_cparams,
     _geometry,
-    _make_cp,
     _one_head_fwd,
     _p_from_scores,
     _pack2,
