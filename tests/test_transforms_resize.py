@@ -106,3 +106,38 @@ def test_registry_surface_and_quickgelu_derivation():
         get_pretrained_cfg("MobileCLIP-B", "datacompdr"))["std"] == (1.0, 1.0, 1.0)
     assert preprocess_overrides(
         get_pretrained_cfg("ViT-H-14-378", "dfn5b"))["resize_mode"] == "squash"
+
+
+def test_factory_applies_tag_preprocess_and_quickgelu(tmp_path, monkeypatch):
+    """create_model(pretrained=<tag>) merges the tag's preprocess contract
+    into the bundle's PreprocessCfg and enables QuickGELU when the tag was
+    trained with it (ref: factory.py merges pretrained_cfg)."""
+    import numpy as np
+
+    from spatial_clip_tpu import create_model, create_model_and_transforms
+    from spatial_clip_tpu.models import pretrained as P
+    from spatial_clip_tpu.train.checkpoints import flatten_params
+
+    # seed a registry entry + a real checkpoint file for ViT-Test
+    bundle0 = create_model("ViT-Test", precision="fp32", seed=0)
+    ckpt = tmp_path / "fake.npz"
+    np.savez(ckpt, **flatten_params(bundle0.params))
+    monkeypatch.setitem(P._PRETRAINED, "ViT-Test", {
+        "faketag": {"url": "http://x/fake.bin", "quick_gelu": True,
+                    "mean": (0.5, 0.5, 0.5), "std": (0.5, 0.5, 0.5),
+                    "interpolation": "bilinear", "resize_mode": "squash"},
+    })
+    monkeypatch.setattr(P, "download_pretrained",
+                        lambda model_name, tag, cache_dir=None: str(ckpt))
+    bundle, t_train, t_val = create_model_and_transforms(
+        "ViT-Test", pretrained="faketag", precision="fp32")
+    assert bundle.cfg.quick_gelu is True
+    pp = bundle.preprocess_cfg
+    assert pp.resize_mode == "squash"
+    assert pp.mean == (0.5, 0.5, 0.5) and pp.interpolation == "bilinear"
+    # the val transform actually squashes
+    out = t_val(_gradient_img(100, 50))
+    assert out.shape == (pp.size, pp.size, 3)
+    expected = np.asarray(
+        _gradient_img(100, 50).resize((pp.size, pp.size), Image.BILINEAR))
+    np.testing.assert_array_equal(out, expected)
