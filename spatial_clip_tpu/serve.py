@@ -276,7 +276,22 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                 else:
                     emb = service.embed_images_b64(items)
                 service.metrics.observe(time.monotonic() - t0, len(items))
-                self._reply(200, {"embeddings": emb.tolist()})
+                if req.get("encoding") == "b64_f32":
+                    # binary response: ~5x smaller than a float JSON list
+                    # and skips per-float stringification (the dominant
+                    # per-request CPU cost at batch 64+ — round-4 serving
+                    # capture); decode with np.frombuffer(
+                    #   base64.b64decode(r["embeddings_b64"]), "<f4"
+                    # ).reshape(r["shape"])
+                    self._reply(200, {
+                        "embeddings_b64": base64.b64encode(
+                            np.ascontiguousarray(
+                                emb, dtype="<f4").tobytes()).decode(),
+                        "shape": list(emb.shape),
+                        "dtype": "<f4",
+                    })
+                else:
+                    self._reply(200, {"embeddings": emb.tolist()})
             except Exception as e:  # noqa: BLE001 — error surface per request
                 service.metrics.error()
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})

@@ -195,3 +195,23 @@ def test_saturation_returns_503(service):
         assert conn.getresponse().status == 200
     finally:
         server.shutdown()
+
+
+def test_binary_embedding_encoding(service):
+    """encoding='b64_f32' returns base64 raw float32 (~5x smaller replies;
+    decodes to the same embeddings as the JSON-list path)."""
+    server, port = _start_server(service)
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/embed_text",
+                     json.dumps({"texts": ["a", "b"], "encoding": "b64_f32"}))
+        r = json.loads(conn.getresponse().read())
+        import base64 as b64
+
+        emb = np.frombuffer(b64.b64decode(r["embeddings_b64"]),
+                            dtype=r["dtype"]).reshape(r["shape"])
+        assert emb.shape == (2, service.bundle.cfg.embed_dim)
+        direct = service.embed_texts(["a", "b"])
+        np.testing.assert_allclose(emb, direct, atol=1e-6)
+    finally:
+        server.shutdown()
