@@ -158,7 +158,12 @@ class EmbeddingService:
 
         self._enc_img = jax.jit(enc_img)
         self._enc_txt = jax.jit(enc_txt)
-        self._params = params
+        # Pin params on the device ONCE: the bundle keeps them as host-side
+        # numpy (the trainer's donation-safe convention), and passing numpy
+        # into a jitted call re-uploads the whole tree per request — ~14 s
+        # per encode through the remote tunnel at ViT-B scale (measured,
+        # reports/serve_serialization_ab.json) vs ~5 ms once resident.
+        self._params = jax.device_put(params)
         # one encoder call at a time — the chip is the serialized resource;
         # the semaphore bounds the queue depth behind it (backpressure)
         self._lock = threading.Lock()

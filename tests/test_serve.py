@@ -215,3 +215,14 @@ def test_binary_embedding_encoding(service):
         np.testing.assert_allclose(emb, direct, atol=1e-6)
     finally:
         server.shutdown()
+
+
+def test_params_are_device_resident(service):
+    """Regression guard for the round-4 serving bug: bundle params are
+    host-side numpy by convention, and passing numpy into the jitted
+    encoders re-uploads the whole tree per request (measured 14 s/call
+    through the remote tunnel). The service must pin them on device once."""
+    import jax
+
+    leaves = jax.tree.leaves(service._params)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
