@@ -41,9 +41,11 @@ import base64
 import io
 import json
 import logging
+import os
 import threading
 import time
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -168,6 +170,11 @@ class EmbeddingService:
         # the semaphore bounds the queue depth behind it (backpressure)
         self._lock = threading.Lock()
         self._inflight = threading.BoundedSemaphore(max_inflight)
+        n_cores = os.cpu_count() or 1
+        self._decode_pool = (
+            ThreadPoolExecutor(max_workers=min(n_cores, 16),
+                               thread_name_prefix="img-decode")
+            if n_cores > 1 else None)
         self.metrics = ServerMetrics()
 
     def _batched(self, encode, arr: np.ndarray) -> np.ndarray:
@@ -202,10 +209,16 @@ class EmbeddingService:
     def embed_images_b64(self, images_b64) -> np.ndarray:
         from PIL import Image
 
-        tiles = np.stack([
-            self.preprocess(Image.open(io.BytesIO(base64.b64decode(b))))
-            for b in images_b64
-        ])
+        def decode(b):
+            return self.preprocess(Image.open(io.BytesIO(base64.b64decode(b))))
+
+        # image serving is host-decode-bound (26 ms/tile measured vs 14.3k
+        # tiles/sec on the chip — reports/bench_serve.json); PIL releases
+        # the GIL during decode so a thread pool scales it with host cores
+        if len(images_b64) > 4 and self._decode_pool is not None:
+            tiles = np.stack(list(self._decode_pool.map(decode, images_b64)))
+        else:
+            tiles = np.stack([decode(b) for b in images_b64])
         return self._batched(self._enc_img, tiles)
 
     def metadata(self) -> dict:
