@@ -202,6 +202,16 @@ class EmbeddingService:
     def release_slot(self):
         self._inflight.release()
 
+    def warmup(self):
+        """Compile both encoders before serving traffic (first compile of
+        each shape is seconds-to-minutes; run it at boot, not on the first
+        request)."""
+        size = int(self.bundle.cfg.vision_cfg.image_size)
+        self.embed_texts(["warmup"])
+        tiles = np.zeros((1, size, size, 3), np.uint8)
+        self._batched(self._enc_img, tiles)
+        log.info("encoders warmed (text + image)")
+
     def embed_texts(self, texts) -> np.ndarray:
         ids = np.asarray(self.tokenizer(list(texts)), dtype=np.int32)
         return self._batched(self._enc_txt, ids)
@@ -341,6 +351,8 @@ def main(argv=None):
     ap.add_argument("--max-body-bytes", type=int, default=32 * 2 ** 20)
     ap.add_argument("--max-items", type=int, default=1024)
     ap.add_argument("--max-inflight", type=int, default=32)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the boot-time encoder compile")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     service = EmbeddingService(
@@ -348,6 +360,8 @@ def main(argv=None):
         precision=args.precision, mlp_impl=args.mlp_impl,
         platform=args.platform, max_inflight=args.max_inflight,
     )
+    if not args.no_warmup:
+        service.warmup()
     serve(service, args.host, args.port,
           max_body_bytes=args.max_body_bytes, max_items=args.max_items)
 

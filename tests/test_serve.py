@@ -226,3 +226,9 @@ def test_params_are_device_resident(service):
 
     leaves = jax.tree.leaves(service._params)
     assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
+def test_warmup_compiles_both_encoders(service):
+    service.warmup()  # must not raise; endpoints still serve afterwards
+    emb = service.embed_texts(["post-warm"])
+    assert emb.shape == (1, service.bundle.cfg.embed_dim)
