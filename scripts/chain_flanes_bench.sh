@@ -10,12 +10,12 @@ set -u
 PID=$(cat /tmp/ab_flanes.pid)
 [ -n "$PID" ] || { echo "empty pid file; refusing to chain" >&2; exit 1; }
 while kill -0 "$PID" 2>/dev/null; do sleep 20; done
-# Trust the report only if it postdates the job we waited on.
-if [ reports/ab_flanes_r3s7.json -ot /tmp/ab_flanes.pid ]; then
-  echo "reports/ab_flanes_r3s7.json is older than the pid file; stale — aborting" >&2
+cd /root/repo
+# Trust the report only if it exists and postdates the job we waited on.
+if [ ! -f reports/ab_flanes_r3s7.json ] || [ reports/ab_flanes_r3s7.json -ot /tmp/ab_flanes.pid ]; then
+  echo "reports/ab_flanes_r3s7.json missing or older than the pid file; stale — aborting" >&2
   exit 1
 fi
-cd /root/repo
 WINNER=$(python - <<'EOF'
 import json, sys
 try:

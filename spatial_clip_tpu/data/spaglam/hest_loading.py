@@ -186,7 +186,12 @@ class HESTDataset:
             qc_path = self.data_dir / "metadata" / f"{sid}.json"
             if qc_path.exists():
                 try:
-                    metadata.update(json.loads(qc_path.read_text()))
+                    qc = json.loads(qc_path.read_text())
+                    if isinstance(qc, dict):
+                        metadata.update(qc)
+                    else:
+                        log.warning(
+                            "QC json for %s is not an object; ignoring", sid)
                 except (json.JSONDecodeError, OSError) as e:
                     log.warning("bad QC json for %s: %s", sid, e)
             out.append(

@@ -32,7 +32,10 @@ _HF_URL = "https://huggingface.co/{repo}/resolve/main/{filename}"
 # Preprocess keys a tag may carry; everything else in the tag dict is
 # download metadata. Defaults (OpenAI mean/std, bicubic, shortest) live on
 # PreprocessCfg itself — tags only record deviations.
-PREPROCESS_KEYS = ("mean", "std", "interpolation", "resize_mode", "size", "fill_color")
+# NOTE: no "size" here — a tag-pinned size would change the transforms
+# without changing vision_cfg.image_size (shape mismatch at encode time);
+# input size is the model config's contract, not the tag's.
+PREPROCESS_KEYS = ("mean", "std", "interpolation", "resize_mode", "fill_color")
 
 
 def _hf(repo: str, filename: str = "open_clip_pytorch_model.bin", **kw) -> Dict:

@@ -1105,7 +1105,9 @@ _PAIR_EXPORTS = frozenset({
 _VARIANT_EXPORTS = frozenset({
     "fused_attention_t", "fused_attention_split",
     "interleave_perm", "inverse_perm", "permute_columns",
-    "SLAB_FWD_CAP", "SLAB_BWD_CAP",
+    # NOTE: SLAB_FWD_CAP/SLAB_BWD_CAP deliberately NOT forwarded — a
+    # forwarded read would make `fa.SLAB_FWD_CAP = x` a silent shadow
+    # no-op; tune them on attention_variants directly.
     "_fwd_pallas_slab", "_bwd_pallas_slab", "_bwd_kernel_inter",
     "_specs_inter", "_bwd_pallas3_dx", "_get_bwd3dx_cp", "_bwd_kernel3_dx",
 })

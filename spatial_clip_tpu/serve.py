@@ -60,6 +60,10 @@ class ServerMetrics:
     def __init__(self, window: int = 1024):
         self._lock = threading.Lock()
         self._lat = deque(maxlen=window)  # (t_done, latency_s)
+        # completion timestamps for qps_1m: sized so a full 60 s at high
+        # rate fits (the latency reservoir's maxlen would cap qps at
+        # window/60 req/s)
+        self._done_ts = deque(maxlen=65536)
         self._fill = deque(maxlen=window)  # batch fill ratio per encode
         self.requests_total = 0
         self.items_total = 0
@@ -71,7 +75,9 @@ class ServerMetrics:
         with self._lock:
             self.requests_total += 1
             self.items_total += n_items
-            self._lat.append((time.monotonic(), latency_s))
+            now = time.monotonic()
+            self._lat.append((now, latency_s))
+            self._done_ts.append(now)
 
     def observe_fill(self, fill: float):
         with self._lock:
@@ -89,7 +95,7 @@ class ServerMetrics:
         with self._lock:
             now = time.monotonic()
             lats = sorted(l for _, l in self._lat)
-            recent = [t for t, _ in self._lat if now - t <= 60.0]
+            recent = [t for t in self._done_ts if now - t <= 60.0]
             qps = len(recent) / min(60.0, max(now - self._t0, 1e-9))
             pct = lambda p: (  # noqa: E731
                 round(1000 * lats[min(len(lats) - 1, int(p * len(lats)))], 2)
@@ -268,6 +274,8 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
                 return self._reply(400, {"error": "bad Content-Length"})
+            if n < 0:
+                return self._reply(400, {"error": "bad Content-Length"})
             if n > max_body_bytes:
                 service.metrics.rejected()
                 return self._reply(413, {
@@ -278,6 +286,9 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
             except (json.JSONDecodeError, UnicodeDecodeError) as e:
                 service.metrics.error()
                 return self._reply(400, {"error": f"invalid JSON: {e}"})
+            if not isinstance(req, dict):
+                service.metrics.error()
+                return self._reply(400, {"error": "request body must be a JSON object"})
             if self.path == "/embed_text":
                 items = req.get("texts")
             elif self.path == "/embed_image":
@@ -320,9 +331,16 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                     })
                 else:
                     self._reply(200, {"embeddings": emb.tolist()})
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-response: not a server error, and the
+                # socket is unusable — do NOT attempt a second reply
+                log.debug("client disconnected mid-response")
             except Exception as e:  # noqa: BLE001 — error surface per request
                 service.metrics.error()
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                try:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except (BrokenPipeError, ConnectionResetError):
+                    log.debug("client disconnected before error reply")
             finally:
                 service.release_slot()
 

@@ -232,3 +232,14 @@ def test_warmup_compiles_both_encoders(service):
     service.warmup()  # must not raise; endpoints still serve afterwards
     emb = service.embed_texts(["post-warm"])
     assert emb.shape == (1, service.bundle.cfg.embed_dim)
+
+
+def test_non_object_json_body_is_400(service):
+    server, port = _start_server(service)
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/embed_text", json.dumps([1, 2, 3]))
+        resp = conn.getresponse()
+        assert resp.status == 400 and b"JSON object" in resp.read()
+    finally:
+        server.shutdown()
