@@ -91,9 +91,11 @@ def test_siglip_tags_pin_squash_preprocessing():
 
 def test_registry_surface_and_quickgelu_derivation():
     pairs = set(list_pretrained())
-    # reference carries ~119 base entries + quickgelu aliases (~169 URL'd
-    # tags in its registry); ours mirrors that surface
-    assert len(pairs) >= 180
+    # machine-verified equal to the reference's full registry surface
+    # (192 (model, tag) pairs incl. derived quickgelu aliases; the
+    # comparison script exec'd the reference _PRETRAINED and diffed — zero
+    # missing, zero extra; round-4 session log)
+    assert len(pairs) == 192
     # derived aliases exist exactly for quick-gelu-trained tags
     assert ("ViT-B-32-quickgelu", "metaclip_400m") in pairs
     assert ("RN50-quickgelu", "openai") in pairs
