@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--texts-per-request", type=int, default=64)
     ap.add_argument("--image-requests", type=int, default=8)
     ap.add_argument("--images-per-request", type=int, default=64)
+    ap.add_argument("--encoding", default=None, choices=[None, "b64_f32"],
+                    help="response encoding (b64_f32 = binary embeddings)")
     ap.add_argument("--out", default="reports/bench_serve.json")
     args = ap.parse_args()
 
@@ -46,7 +48,10 @@ def main():
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
     texts = [f"tile expressing gene set {i}" for i in range(args.texts_per_request)]
-    body_text = json.dumps({"texts": texts})
+    req = {"texts": texts}
+    if args.encoding:
+        req["encoding"] = args.encoding
+    body_text = json.dumps(req)
 
     # warm both encoders (first request compiles)
     conn = HTTPConnection("127.0.0.1", port, timeout=3000)
@@ -112,6 +117,7 @@ def main():
     out = {
         "model": args.model,
         "server_batch": args.batch_size,
+        "encoding": args.encoding or "json",
         "text": {
             "threads": args.threads,
             "requests": n_req,
