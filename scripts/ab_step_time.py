@@ -117,9 +117,15 @@ def build(arm: str, batch: int, model: str):
     if m:
         scan_steps = int(m.group(1))
         name = name.replace(m.group(0), "")
-    # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
+    # '^i8' pins int8-forward training GEMMs (ops/int8_train) per arm
     import spatial_clip_tpu.models.transformer as _tf
 
+    if "^i8" in name:
+        name = name.replace("^i8", "")
+        _tf.INT8_GEMM = True
+    else:
+        _tf.INT8_GEMM = False
+    # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     if "^nod2" in name:
         name = name.replace("^nod2", "")
         _tf.DENSE_2D = False

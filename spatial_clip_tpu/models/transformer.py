@@ -36,8 +36,30 @@ Dtype = Any
 # cheaper than the GEMM slowdown. Ships off as a reproducible knob.
 DENSE_2D = False
 
+# int8-forward training GEMMs (ops/int8_train): every %128-shaped projection
+# routed through _dense/_apply_dense runs its FORWARD as an int8 x int8 MXU
+# dot (per-row activation scales, per-channel weight scales) with a bf16
+# straight-through backward — the v5e MXU's 2x int8 rate applied to training,
+# a lever the torch reference (bnb inference-only int8) never had. Off by
+# default pending the quality gate; flip per-process via the env knob or the
+# '^i8' A/B arm suffix (scripts/ab_step_time.py).
+import os as _os
+
+INT8_GEMM = _os.environ.get("SPATIAL_CLIP_INT8_GEMM", "0") == "1"
+
+
+def _int8_ok(K: int, N: int) -> bool:
+    return INT8_GEMM and K % 128 == 0 and N % 128 == 0
+
 
 def _dense(features, dtype, name, x):
+    if _int8_ok(x.shape[-1], features):
+        from spatial_clip_tpu.ops.int8_train import int8_matmul
+
+        # _DenseParams shares nn.Dense's param tree (kernel/bias) + inits,
+        # so checkpoints are unaffected by the knob.
+        k, b = _DenseParams(x.shape[-1], features, name=name)()
+        return int8_matmul(x, k, dtype) + b.astype(dtype)
     if DENSE_2D and x.ndim > 2:
         shape = x.shape
         y = nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
@@ -55,7 +77,11 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 def _apply_dense(kernel, bias, x, dtype):
     """nn.Dense-equivalent application of explicit (kernel, bias) params:
     promote everything to ``dtype`` then one dot + bias add (honors the
-    DENSE_2D experiment knob exactly like :func:`_dense`)."""
+    DENSE_2D / INT8_GEMM experiment knobs exactly like :func:`_dense`)."""
+    if kernel.ndim == 2 and _int8_ok(kernel.shape[0], kernel.shape[1]):
+        from spatial_clip_tpu.ops.int8_train import int8_matmul
+
+        return int8_matmul(x, kernel, dtype) + bias.astype(dtype)
     k = kernel.astype(dtype)
     b = bias.astype(dtype)
     if DENSE_2D and x.ndim > 2:
@@ -353,7 +379,13 @@ class MultiHeadAttention(nn.Module):
             # the (B,L,3D) dqkv DUS-concat chain (~1.6 ms/step at ViT-B) and
             # the standalone db reduce (~1.1 ms) never materialize. Measured
             # -0.51 ms/step on the parity config (reports/ab_pallas3_r3s6).
-            impl = "pallas3" if jax.default_backend() == "tpu" else "einsum"
+            if jax.default_backend() == "tpu":
+                # INT8_GEMM needs the qkv GEMM OUTSIDE the attention custom
+                # VJP (pallas3 owns it); plain 'pallas' projects via
+                # _apply_dense, which routes to the int8 MXU dot.
+                impl = "pallas" if INT8_GEMM else "pallas3"
+            else:
+                impl = "einsum"
         if ln is not None:
             # pre-LN handed in for fusion with the qkv projection
             # (ops/fused_ln_dense). Fusable only on the Pallas attention
@@ -805,6 +837,11 @@ class PatchEmbed(nn.Module):
         )
         patches = images.astype(self.dtype).reshape(B, gh, p, gw, p, C)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, p * p * C)
+        if _int8_ok(p * p * C, self.width):
+            from spatial_clip_tpu.ops.int8_train import int8_matmul
+
+            return int8_matmul(patches, kernel.reshape(p * p * C, self.width),
+                               self.dtype)
         w = kernel.reshape(p * p * C, self.width).astype(self.dtype)
         return patches @ w
 
