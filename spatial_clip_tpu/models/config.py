@@ -91,10 +91,46 @@ class TextCfg:
     hf_tokenizer_name: Optional[str] = None
     # HF text tower (ref: model.py CLIPTextCfg hf_model_name/pooler/proj)
     hf_model_name: Optional[str] = None  # hub id (pretrained; needs network)
-    hf_model_arch: str = "bert"
+    # None -> inferred from hf_model_name (the reference resolves it from the
+    # hub AutoConfig.model_type, hf_model.py:109; offline we match the name)
+    hf_model_arch: Optional[str] = None
     hf_config: Optional[Dict[str, Any]] = None  # offline local config kwargs
     hf_pooler_type: str = "mean_pooler"
-    hf_proj_type: str = "linear" 
+    hf_proj_type: str = "linear"
+
+    def __post_init__(self):
+        if self.hf_model_arch is None:
+            self.hf_model_arch = (
+                infer_hf_arch(self.hf_model_name) if self.hf_model_name
+                else "bert"
+            )
+            # arch-correct pad token (the reference reads
+            # config.pad_token_id from the hub config): m2m_100/roberta
+            # families pad with 1, bert/t5 with 0
+            if (
+                (self.hf_model_name or self.hf_config is not None)
+                and self.hf_model_arch in ("m2m_100", "roberta", "xlm-roberta")
+                and self.pad_id == 0
+            ):
+                self.pad_id = 1
+
+
+def infer_hf_arch(name: str) -> str:
+    """hub-id -> HF arch family (ref hf_configs.py arch_dict keys), matched
+    offline by name: nllb-clip's text tower is the m2m_100 encoder
+    (ref: hf_configs.py:57-70)."""
+    n = name.lower()
+    if "nllb" in n or "m2m" in n:
+        return "m2m_100"
+    if "xlm-roberta" in n or "xlm_roberta" in n:
+        return "xlm-roberta"
+    if "roberta" in n:
+        return "roberta"
+    if "mt5" in n:
+        return "mt5"
+    if "t5" in n:
+        return "t5"
+    return "bert"
 
 
 @dataclass

@@ -31,11 +31,16 @@ _ARCH_TO_MODULE = {
             "FlaxT5EncoderModule", "transformers", "MT5Config"),
     "t5": ("transformers.models.t5.modeling_flax_t5",
            "FlaxT5EncoderModule", "transformers", "T5Config"),
+    # nllb-clip's text tower (ref: hf_configs.py:57-70). transformers>=4.50
+    # dropped Flax M2M100, so the encoder is implemented natively
+    # (models/m2m_encoder.py, torch-parity tested <=1e-4).
+    "m2m_100": ("spatial_clip_tpu.models.m2m_encoder", "M2M100EncoderModule",
+                "transformers", "M2M100Config"),
 }
 
 # encoder __call__ takes (input_ids, attention_mask) only — no token-type
-# or position ids (relative position bias instead)
-_IDS_MASK_ONLY = {"mt5", "t5"}
+# or position ids (relative position bias / sinusoidal positions instead)
+_IDS_MASK_ONLY = {"mt5", "t5", "m2m_100"}
 
 
 def _load_arch(arch: str):
@@ -123,6 +128,14 @@ def convert_torch_hf_state_dict(
     through transformers' own pt->flax mapping (tested bit-parity in
     tests/test_torch_parity.py::test_hf_bert_weight_transfer_parity).
     """
+    if arch == "m2m_100":
+        from spatial_clip_tpu.models.m2m_encoder import (
+            convert_torch_m2m_encoder,
+        )
+
+        return jax.tree.map(
+            jnp.asarray, convert_torch_m2m_encoder(pt_state_dict))
+
     import transformers
     from transformers.modeling_flax_pytorch_utils import (
         convert_pytorch_state_dict_to_flax,
