@@ -76,43 +76,55 @@ def main():
     conn.request("POST", "/embed_image", body_img)
     assert conn.getresponse().status == 200
     print(f"image warm/compile: {time.time() - t0:.1f}s", flush=True)
+    # drop the warm/compile requests from the /metrics window so server-side
+    # percentiles reflect steady-state traffic, not one-off XLA compiles
+    conn.request("POST", "/metrics/reset", "{}")
+    assert conn.getresponse().status == 200
 
-    lat = []
-    errors = []
+    def stress(path: str, body: str, n_threads: int, n_requests: int):
+        """n_threads clients, n_requests each; returns (lats, wall, errors)."""
+        lats, errors = [], []
 
-    def worker():
-        try:
-            c = HTTPConnection("127.0.0.1", port, timeout=600)
-            for _ in range(args.requests):
-                t = time.perf_counter()
-                c.request("POST", "/embed_text", body_text)
-                r = c.getresponse()
-                r.read()
-                assert r.status == 200, r.status
-                lat.append(time.perf_counter() - t)
-        except Exception as e:  # noqa: BLE001
-            errors.append(repr(e))
+        def worker():
+            try:
+                c = HTTPConnection("127.0.0.1", port, timeout=600)
+                for _ in range(n_requests):
+                    t = time.perf_counter()
+                    c.request("POST", path, body)
+                    r = c.getresponse()
+                    r.read()
+                    assert r.status == 200, r.status
+                    lats.append(time.perf_counter() - t)
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
 
-    t_start = time.time()
-    threads = [threading.Thread(target=worker) for _ in range(args.threads)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.time() - t_start
+        t_start = time.time()
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return lats, time.time() - t_start, errors
 
-    img_lat = []
-    for _ in range(args.image_requests):
-        t = time.perf_counter()
-        conn.request("POST", "/embed_image", body_img)
-        r = conn.getresponse()
-        r.read()
-        assert r.status == 200
-        img_lat.append(time.perf_counter() - t)
+    lat, wall, errors = stress("/embed_text", body_text, args.threads,
+                               args.requests)
 
-    conn.request("GET", "/metrics")
-    metrics = json.loads(conn.getresponse().read())
+    def get_metrics():
+        conn.request("GET", "/metrics")
+        return json.loads(conn.getresponse().read())
+
     pct = lambda v, p: round(1000 * float(np.percentile(v, p)), 1)  # noqa: E731
+    text_metrics = get_metrics()
+
+    # image path under the SAME concurrency (host-decode pool + chip lock
+    # under contention), with its own clean metrics window
+    conn.request("POST", "/metrics/reset", "{}")
+    assert conn.getresponse().status == 200
+    img_lat, img_wall, img_errors = stress(
+        "/embed_image", body_img, args.threads, args.image_requests)
+    img_metrics = get_metrics()
+    n_img = args.threads * args.image_requests
+
     n_req = args.threads * args.requests
     out = {
         "model": args.model,
@@ -127,14 +139,20 @@ def main():
             "latency_ms_p50": pct(lat, 50),
             "latency_ms_p99": pct(lat, 99),
             "errors": errors,
+            "server_metrics": text_metrics,
         },
-        "image_single_client": {
+        "image_concurrent": {
+            "threads": args.threads,
+            "requests": n_img,
             "items_per_request": args.images_per_request,
-            "latency_ms_p50": pct(img_lat, 50),
+            "wall_s": round(img_wall, 2),
             "tiles_per_sec": round(
-                args.images_per_request / np.median(img_lat), 1),
+                n_img * args.images_per_request / img_wall, 1),
+            "latency_ms_p50": pct(img_lat, 50),
+            "latency_ms_p99": pct(img_lat, 99),
+            "errors": img_errors,
+            "server_metrics": img_metrics,
         },
-        "server_metrics": metrics,
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1))

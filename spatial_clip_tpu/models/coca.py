@@ -287,7 +287,8 @@ def beam_search_generate(
         return (seq, top_scores, done), None
 
     (seq, scores, done), _ = jax.lax.scan(
-        step, (seq0, scores0, done0), jnp.arange(min(max_len, ctx_len - 1))
+        # max_len counts the SOT (reference seq_len semantics)
+        step, (seq0, scores0, done0), jnp.arange(min(max_len - 1, ctx_len - 1))
     )
     # length-penalized best beam (ref: coca_model.py length_penalty)
     lengths = (seq != 0).sum(axis=-1).astype(jnp.float32)
@@ -359,7 +360,10 @@ def sample_generate(
     ctx_len = model.cfg.text_cfg.context_length
     vocab = model.cfg.text_cfg.vocab_size
     NEG = -1e9
-    n_steps = min(max_len, ctx_len - 1)
+    # max_len counts the SOT like the reference's seq_len (generate forces
+    # EOS when TOTAL length incl. SOT reaches seq_len, coca_model.py:286-413)
+    # -> max_len - 1 tokens are emitted after the SOT
+    n_steps = min(max_len - 1, ctx_len - 1)
 
     def step(carry, i):
         seq, done, key = carry
@@ -481,6 +485,7 @@ def greedy_generate(
 
     seq0 = jnp.zeros((B, ctx_len), jnp.int32).at[:, 0].set(sot_token)
     (seq, _), _ = jax.lax.scan(
-        step, (seq0, jnp.zeros((B,), bool)), jnp.arange(min(max_len, ctx_len - 1))
+        # max_len counts the SOT (reference seq_len semantics)
+        step, (seq0, jnp.zeros((B,), bool)), jnp.arange(min(max_len - 1, ctx_len - 1))
     )
     return seq

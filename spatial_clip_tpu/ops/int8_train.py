@@ -100,8 +100,15 @@ def int8_matmul(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
     x: (..., K) activations (any float dtype); kernel: (K, N) fp32 param.
     Returns (..., N) in ``dtype``. Falls back to the exact bf16 product for
     geometries the int8 path doesn't tile (K or N not %128).
+
+    Inputs flatten to 2-D around the quantized dot: bf16 3-D dots get XLA's
+    fast b0f conv lowering (reports/ab_d2_r2.json), but int8 dots do not —
+    2-D row-major is the right layout for the int8 MXU path, and the
+    (B,L,N) reshape back is a free bitcast.
     """
     K, N = kernel.shape
     if not supported(K, N):
         return (x.astype(dtype) @ kernel.astype(dtype)).astype(dtype)
-    return _int8_matmul_core(x.astype(dtype), kernel).astype(dtype)
+    lead = x.shape[:-1]
+    x2 = x.astype(dtype).reshape(-1, K)
+    return _int8_matmul_core(x2, kernel).astype(dtype).reshape(lead + (N,))

@@ -24,6 +24,7 @@ Endpoints:
 - ``POST /embed_image`` {"images_b64": [base64-png, ...]} -> embeddings
 - ``GET  /healthz``     liveness + model metadata
 - ``GET  /metrics``     request counts, QPS, batch fill, p50/p99 latency
+- ``POST /metrics/reset`` clear the rolling latency/QPS window (totals kept)
 
 Operational limits (all configurable): request bodies over
 ``--max-body-bytes`` are rejected 413; more than ``--max-items`` items per
@@ -90,6 +91,18 @@ class ServerMetrics:
     def rejected(self):
         with self._lock:
             self.rejected_total += 1
+
+    def reset_window(self):
+        """Clear the rolling latency/fill/QPS windows (totals are kept).
+
+        Call after warmup so boot-time compile requests don't sit in the
+        percentile window — an operator reading /metrics would otherwise see
+        multi-second p99 'tails' that are really one-off XLA compiles."""
+        with self._lock:
+            self._lat.clear()
+            self._done_ts.clear()
+            self._fill.clear()
+            self._t0 = time.monotonic()
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -289,6 +302,9 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
             if not isinstance(req, dict):
                 service.metrics.error()
                 return self._reply(400, {"error": "request body must be a JSON object"})
+            if self.path == "/metrics/reset":
+                service.metrics.reset_window()
+                return self._reply(200, {"status": "metrics window reset"})
             if self.path == "/embed_text":
                 items = req.get("texts")
             elif self.path == "/embed_image":
@@ -314,7 +330,6 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                     emb = service.embed_texts(items)
                 else:
                     emb = service.embed_images_b64(items)
-                service.metrics.observe(time.monotonic() - t0, len(items))
                 if req.get("encoding") == "b64_f32":
                     # binary response: ~5x smaller than a float JSON list
                     # and skips per-float stringification (the dominant
@@ -331,6 +346,10 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                     })
                 else:
                     self._reply(200, {"embeddings": emb.tolist()})
+                # observed AFTER the reply is written: percentiles include
+                # serialization + socket write (the dominant per-request CPU
+                # cost for float-JSON clients at batch 64+ — round-4 capture)
+                service.metrics.observe(time.monotonic() - t0, len(items))
             except (BrokenPipeError, ConnectionResetError):
                 # client went away mid-response: not a server error, and the
                 # socket is unusable — do NOT attempt a second reply
@@ -380,6 +399,7 @@ def main(argv=None):
     )
     if not args.no_warmup:
         service.warmup()
+        service.metrics.reset_window()
     serve(service, args.host, args.port,
           max_body_bytes=args.max_body_bytes, max_items=args.max_items)
 

@@ -323,8 +323,17 @@ class Trainer:
         re-embeds each microbatch with grad, splices it into the cached
         global feature matrix, and backprops the FULL-batch loss — the
         contrastive batch is the full effective batch at microbatch-sized
-        activation memory. Works for clip AND spatial losses (the reference
-        accum path supports only non-spatial)."""
+        activation memory.
+
+        SPATIAL losses are fully supported here — a beyond-reference
+        capability (torch's accum path is non-spatial-only,
+        open_clip_train/train.py:144-193): ``mb_loss`` hands the loss the
+        FULL batch's tile ids / neighbor ids / alphas together with the
+        assembled global feature matrix, so the vectorized soft-label build
+        (losses/contrastive.py) indexes neighbors across microbatch
+        boundaries exactly as in the monolithic step. Parity is enforced by
+        tests/test_train_loop.py::test_cached_accum_matches_full_batch_grads
+        (accum=4 spatial grads == full-batch spatial grads)."""
         mb_size = batch["images"].shape[0] // accum
 
         def split(x):

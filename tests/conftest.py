@@ -44,8 +44,19 @@ def _ensure_native_built():
         subprocess.run(
             ["make", "-C", str(native)], check=True,
             capture_output=True, timeout=120)
-    except Exception:
-        pass
+    except subprocess.CalledProcessError as e:
+        # visible signal instead of a silent pure-Python fallback: a
+        # compiler/Makefile regression should show up in the test output
+        import warnings
+
+        warnings.warn(
+            "native build failed (tests fall back to the pure-Python "
+            f"loader): {e.stderr.decode(errors='replace')[-500:]}",
+            stacklevel=1)
+    except Exception as e:  # noqa: BLE001 — e.g. timeout
+        import warnings
+
+        warnings.warn(f"native build skipped: {e!r}", stacklevel=1)
 
 
 _ensure_native_built()

@@ -88,6 +88,18 @@ def test_http_surface(service):
         conn.request("POST", "/nope", "{}")
         assert conn.getresponse().status == 404
 
+        # /metrics/reset clears the rolling window (warmup-compile
+        # exclusion) but keeps totals
+        conn.request("GET", "/metrics")
+        before = json.loads(conn.getresponse().read())
+        assert before["latency_ms_p50"] is not None
+        conn.request("POST", "/metrics/reset", "{}")
+        assert conn.getresponse().status == 200
+        conn.request("GET", "/metrics")
+        after = json.loads(conn.getresponse().read())
+        assert after["latency_ms_p50"] is None
+        assert after["requests_total"] == before["requests_total"]
+
         conn.request("POST", "/embed_text", '{"bad": 1}')
         resp = conn.getresponse()
         assert resp.status == 400 and b"error" in resp.read()

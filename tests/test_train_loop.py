@@ -138,6 +138,13 @@ def test_cached_accum_matches_full_batch_grads(tiny_bundle):
     tr = Trainer(tiny_bundle, loss=make_loss("spatial"), config=cfg)
     batch = next(iter(_make_data(n=16, batch=16)()))
     db = {k: v for k, v in tr._device_batch(batch).items()}
+    # the spatial soft labels must index ACROSS microbatch boundaries for
+    # this parity to be meaningful: with accum=4 below, microbatches are 4
+    # rows, so any neighbor id >= 4 rows away crosses one
+    nbr = np.asarray(db["neighbor_tile_ids"])
+    rows = np.arange(nbr.shape[0])[:, None]
+    assert (np.abs(np.where(nbr >= 0, nbr - rows, 0)) >= 4).any(), \
+        "test data has no cross-microbatch neighbors"
     rng = jax.random.PRNGKey(7)
 
     # reference: one full-batch grad
