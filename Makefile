@@ -32,6 +32,9 @@ rehearsal:  ## full e2e rehearsal: 50 synthetic slides -> preprocess -> shards -
 rehearsal-smoke:  ## CI-sized e2e rehearsal (4 slides, 3 train steps)
 	python scripts/e2e_rehearsal.py --smoke --out reports/e2e_rehearsal_smoke.json
 
+rehearsal-pretrained:  ## offline pretrained-tag flow: synth torch ckpt -> tag -> convert -> train -> eval -> re-export (embedding parity)
+	python scripts/pretrained_rehearsal.py --model ViT-B-32 --steps 10 --out reports/pretrained_rehearsal.json
+
 clean:
 	rm -rf .pytest_cache logs **/__pycache__
 	$(MAKE) -C native clean

@@ -362,6 +362,19 @@ def list_pretrained():
     return [(m, t) for m, tags in _PRETRAINED.items() for t in tags]
 
 
+def register_pretrained(model_name: str, tag: str, url: str, **cfg) -> None:
+    """Register a (model, tag) -> checkpoint mapping at runtime.
+
+    ``url`` may be an http(s) URL, a ``file://`` URL, or a plain local path
+    (the reference resolves local paths through the same tag machinery,
+    pretrained.py download_pretrained). Extra kwargs become the tag's
+    pretrained_cfg (quick_gelu, mean/std/interpolation/resize_mode, ...).
+    Used by the offline pretrained-tag rehearsal
+    (scripts/pretrained_rehearsal.py) and for private checkpoint registries.
+    """
+    _PRETRAINED.setdefault(model_name, {})[tag] = {"url": url, **cfg}
+
+
 def list_pretrained_tags_by_model(model_name: str):
     return sorted(_PRETRAINED.get(model_name, {}))
 
@@ -394,6 +407,11 @@ def download_pretrained(
     if cfg is None:
         return None
     url = cfg["url"]
+    # local-path / file:// tags resolve without any network or cache copy
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    if Path(url).exists():
+        return url
     digest = hashlib.sha256(url.encode()).hexdigest()[:16]
     target = Path(cache_dir or _cache_dir()) / f"{model_name}-{tag}-{digest}.bin"
     if target.exists():
