@@ -31,6 +31,10 @@ import jax.numpy as jnp
 # to the dense bf16 product (callers gate on this too).
 _MIN_DIM = 128
 
+# Flatten inputs to 2-D around the quantized dot (measured-negative A/B knob;
+# see int8_matmul docstring).
+INT8_2D = False
+
 
 def supported(K: int, N: int) -> bool:
     return K % _MIN_DIM == 0 and N % _MIN_DIM == 0
@@ -101,14 +105,17 @@ def int8_matmul(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
     Returns (..., N) in ``dtype``. Falls back to the exact bf16 product for
     geometries the int8 path doesn't tile (K or N not %128).
 
-    Inputs flatten to 2-D around the quantized dot: bf16 3-D dots get XLA's
-    fast b0f conv lowering (reports/ab_d2_r2.json), but int8 dots do not —
-    2-D row-major is the right layout for the int8 MXU path, and the
-    (B,L,N) reshape back is a free bitcast.
+    Measured negative BOTH ways at model level (reports/ab_int8_r5.json
+    +22 ms 3-D, ab_int8b_r5.json +50 ms 2-D-flattened vs the 96 ms bf16
+    baseline, parity config): the 2-D flatten repeats the DENSE_2D relayout
+    lesson, so the 3-D form ships; see docs/roofline.md "int8 training" for
+    the device-time attribution.
     """
     K, N = kernel.shape
     if not supported(K, N):
         return (x.astype(dtype) @ kernel.astype(dtype)).astype(dtype)
-    lead = x.shape[:-1]
-    x2 = x.astype(dtype).reshape(-1, K)
-    return _int8_matmul_core(x2, kernel).astype(dtype).reshape(lead + (N,))
+    if INT8_2D:
+        lead = x.shape[:-1]
+        x2 = x.astype(dtype).reshape(-1, K)
+        return _int8_matmul_core(x2, kernel).astype(dtype).reshape(lead + (N,))
+    return _int8_matmul_core(x.astype(dtype), kernel).astype(dtype)
