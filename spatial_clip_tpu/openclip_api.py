@@ -10,8 +10,18 @@ the TPU-native implementations so migration is an import swap:
 Losses are pure mesh-aware functions here (losses/contrastive.py), so the
 reference's loss *classes* map to thin factories returning the callable
 ``LossFn`` with the same knobs.
+
+Versioning: ``spatial_clip_tpu.__version__`` is this package's own version
+(0.x), NOT the reference's (open_clip 3.1.0 at the pinned snapshot) —
+feature parity is tracked per-surface in COVERAGE.md, not by version
+number. ``openclip_compat_version`` below names the reference release whose
+export surface this module mirrors.
 """
 from __future__ import annotations
+
+# the open_clip release whose public surface this module tracks
+# (ref: src/open_clip/version.py)
+openclip_compat_version = "3.1.0"
 
 from typing import Optional
 
