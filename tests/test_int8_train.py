@@ -86,6 +86,56 @@ def test_knob_preserves_param_tree_and_runs():
         tfm.INT8_GEMM = old
 
 
+def test_full_train_step_under_int8():
+    """One Trainer step with INT8_GEMM on: finite loss, params update, and
+    the state tree is identical to the bf16 path's (checkpoint compat).
+    Widths are %128 so every projection actually takes the int8 route."""
+    import jax
+
+    from spatial_clip_tpu import create_model
+    from spatial_clip_tpu.losses import make_loss
+    from spatial_clip_tpu.train.loop import Trainer, TrainerConfig
+
+    tiny_bundle = create_model(
+        "ViT-Test", precision="bf16", seed=0, embed_dim=128,
+        vision_cfg={"image_size": 32, "layers": 2, "width": 128,
+                    "patch_size": 16, "heads": 4},
+        text_cfg={"context_length": 16, "vocab_size": 512, "width": 128,
+                  "heads": 4, "layers": 2},
+    )
+    old = tfm.INT8_GEMM
+    try:
+        tfm.INT8_GEMM = True
+        tr = Trainer(
+            tiny_bundle, loss=make_loss("spatial", cap_logit_scale=50.0),
+            config=TrainerConfig(warmup_steps=1, total_steps=4, augment=True,
+                                 color_jitter=0.2, log_every=10**9, seed=0),
+        )
+        step = tr.make_train_step()
+        state = tr.init_state()
+        rng = np.random.default_rng(0)
+        B = 8
+        size = tiny_bundle.cfg.vision_cfg.image_size
+        tid = np.arange(B, dtype=np.int32)
+        db = tr._device_batch({
+            "images": rng.integers(0, 255, (B, size, size, 3),
+                                   dtype=np.uint8),
+            "texts": rng.integers(
+                0, tiny_bundle.cfg.text_cfg.vocab_size,
+                (B, tiny_bundle.cfg.text_cfg.context_length)
+            ).astype(np.int32),
+            "image_tile_ids": tid, "text_tile_ids": tid,
+            "neighbor_tile_ids": rng.integers(-1, B, (B, 4)).astype(np.int32),
+            "neighbor_alphas": rng.uniform(0, 1, (B, 4)).astype(np.float32),
+        })
+        state2, m = step(state, db)
+        assert np.isfinite(float(np.asarray(m["loss"])))
+        assert jax.tree_util.tree_structure(state.params) == \
+            jax.tree_util.tree_structure(state2.params)
+    finally:
+        tfm.INT8_GEMM = old
+
+
 @pytest.mark.parametrize("shape", [(2, 5, 128), (6, 128)])
 def test_apply_dense_int8_routing(shape):
     rng = np.random.default_rng(4)
