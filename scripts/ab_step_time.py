@@ -117,14 +117,23 @@ def build(arm: str, batch: int, model: str):
     if m:
         scan_steps = int(m.group(1))
         name = name.replace(m.group(0), "")
-    # '^i8' pins int8-forward training GEMMs (ops/int8_train) per arm
+    # '^i8' pins int8-forward training GEMMs (ops/int8_train) per arm;
+    # '^i82d' additionally flattens the quantized dots to 2-D (both
+    # measured negative — reports/ab_int8_r5.json, ab_int8b_r5.json)
     import spatial_clip_tpu.models.transformer as _tf
+    import spatial_clip_tpu.ops.int8_train as _i8
 
-    if "^i8" in name:
+    if "^i82d" in name:
+        name = name.replace("^i82d", "")
+        _tf.INT8_GEMM = True
+        _i8.INT8_2D = True
+    elif "^i8" in name:
         name = name.replace("^i8", "")
         _tf.INT8_GEMM = True
+        _i8.INT8_2D = False
     else:
         _tf.INT8_GEMM = False
+        _i8.INT8_2D = False
     # '^d2'/'^nod2' pin the 2D-GEMM projection layout per arm
     if "^nod2" in name:
         name = name.replace("^nod2", "")
