@@ -261,6 +261,29 @@ def list_model_configs() -> list:
     )
 
 
+def hf_cache_snapshot(repo: str):
+    """Newest local HF-hub cache snapshot of ``repo`` that carries an
+    ``open_clip_config.json``, or None. Honors $HF_HOME/$HUGGINGFACE_HUB_CACHE
+    (the standard hub cache layout: hub/models--org--name/snapshots/<rev>/)."""
+    import os
+
+    roots = []
+    if os.environ.get("HUGGINGFACE_HUB_CACHE"):
+        roots.append(Path(os.environ["HUGGINGFACE_HUB_CACHE"]))
+    home = Path(os.environ.get("HF_HOME",
+                               Path.home() / ".cache" / "huggingface"))
+    roots.append(home / "hub")
+    for root in roots:
+        snaps = root / ("models--" + repo.replace("/", "--")) / "snapshots"
+        if not snaps.is_dir():
+            continue
+        for snap in sorted(snaps.iterdir(),
+                           key=lambda p: p.stat().st_mtime, reverse=True):
+            if (snap / "open_clip_config.json").is_file():
+                return snap
+    return None
+
+
 def load_model_config(model_name: str) -> Dict[str, Any]:
     """Resolve a model name to its raw JSON config dict.
 
@@ -268,6 +291,20 @@ def load_model_config(model_name: str) -> Dict[str, Any]:
     ``local-dir:`` prefix pointing at a directory containing
     ``open_clip_config.json`` (ref: src/open_clip/factory.py:251-320).
     """
+    if model_name.startswith("hf-hub:"):
+        repo = model_name[len("hf-hub:"):]
+        snap = hf_cache_snapshot(repo)
+        if snap is None:
+            raise ValueError(
+                f"'{model_name}' resolves through the HF hub "
+                f"(ref factory.py:251-320); no cached snapshot with "
+                f"open_clip_config.json found under the HF cache and this "
+                f"environment has no network. Populate the cache (e.g. "
+                f"`huggingface-cli download {repo}`) or pass a local-dir:/"
+                f".json config."
+            )
+        cfg = json.loads((snap / "open_clip_config.json").read_text())
+        return cfg.get("model_cfg", cfg)
     name = model_name.replace("/", "-")
     if name in _EXTRA_CONFIGS:
         return dict(_EXTRA_CONFIGS[name])

@@ -167,6 +167,20 @@ def create_model(
     through models.pretrained (download gated on network availability).
     """
     cfg = resolve_clip_cfg(model_name, **cfg_overrides)
+    # hf-hub: names carry their weights in the same cached snapshot as the
+    # config (ref: factory.py:251-320 resolves both from the hub) — when no
+    # explicit pretrained was requested, load them.
+    if pretrained is None and model_name.startswith("hf-hub:"):
+        from spatial_clip_tpu.models.config import hf_cache_snapshot
+
+        snap = hf_cache_snapshot(model_name[len("hf-hub:"):])
+        if snap is not None:
+            for fname in ("open_clip_model.safetensors",
+                          "open_clip_pytorch_model.safetensors",
+                          "open_clip_pytorch_model.bin"):
+                if (snap / fname).is_file():
+                    pretrained = str(snap / fname)
+                    break
     # Registry tags pin checkpoint-specific contracts: QuickGELU activation
     # and preprocessing (mean/std/interpolation/resize_mode — e.g. SigLIP
     # tags require resize_mode='squash'). Ref: factory.py merges
