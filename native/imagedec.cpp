@@ -31,6 +31,27 @@ static bool is_jpeg(const uint8_t* buf, size_t len) {
   return len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF;
 }
 
+// PIL-parity gate: only the cases whose output is proven byte-identical to
+// the PIL fallback are decoded natively; everything else returns -1 so the
+// caller falls back to PIL (alpha compositing, 16-bit rescale and CMYK
+// conversion differ between the codecs' convenience paths and PIL).
+//
+// PNG IHDR: sig(8) + len(4) + "IHDR"(4) + w(4) + h(4) + bitdepth@24 +
+// colortype@25. Accept bit depth 8, color type 0 (gray) or 2 (RGB).
+static bool png_parity_ok(const uint8_t* buf, size_t len) {
+  if (len < 26) return false;
+  const uint8_t bit_depth = buf[24], color_type = buf[25];
+  return bit_depth == 8 && (color_type == 0 || color_type == 2);
+}
+
+// JPEG: accept grayscale / YCbCr / RGB source color spaces (CMYK and YCCK
+// conversion semantics differ from PIL's).
+static bool jpeg_parity_ok(const jpeg_decompress_struct& cinfo) {
+  return cinfo.jpeg_color_space == JCS_GRAYSCALE ||
+         cinfo.jpeg_color_space == JCS_YCbCr ||
+         cinfo.jpeg_color_space == JCS_RGB;
+}
+
 // ---------------------------------------------------------------- libjpeg
 struct JpegErr {
   jpeg_error_mgr mgr;
@@ -58,6 +79,10 @@ static int jpeg_info(const uint8_t* buf, size_t len, int* w, int* h) {
     jpeg_destroy_decompress(&cinfo);
     return -2;
   }
+  if (!jpeg_parity_ok(cinfo)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;  // decline: caller uses PIL
+  }
   *w = static_cast<int>(cinfo.image_width);
   *h = static_cast<int>(cinfo.image_height);
   jpeg_destroy_decompress(&cinfo);
@@ -80,6 +105,10 @@ static int jpeg_decode_rgb(const uint8_t* buf, size_t len, uint8_t* out,
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return -2;
+  }
+  if (!jpeg_parity_ok(cinfo)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;  // decline: caller uses PIL
   }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -130,13 +159,15 @@ static int png_decode_rgb(const uint8_t* buf, size_t len, uint8_t* out,
 
 // ------------------------------------------------------------------ C ABI
 int sc_image_info(const uint8_t* buf, size_t len, int* w, int* h) {
-  if (is_png(buf, len)) return png_info_(buf, len, w, h);
+  if (is_png(buf, len))
+    return png_parity_ok(buf, len) ? png_info_(buf, len, w, h) : -1;
   if (is_jpeg(buf, len)) return jpeg_info(buf, len, w, h);
-  return -1;  // unknown format — caller falls back to PIL
+  return -1;  // unknown / non-parity format — caller falls back to PIL
 }
 
 int sc_decode_rgb(const uint8_t* buf, size_t len, uint8_t* out, size_t cap) {
-  if (is_png(buf, len)) return png_decode_rgb(buf, len, out, cap);
+  if (is_png(buf, len))
+    return png_parity_ok(buf, len) ? png_decode_rgb(buf, len, out, cap) : -1;
   if (is_jpeg(buf, len)) return jpeg_decode_rgb(buf, len, out, cap);
   return -1;
 }

@@ -123,9 +123,11 @@ def main():
     img_lat, img_wall, img_errors = stress(
         "/embed_image", body_img, args.threads, args.image_requests)
     img_metrics = get_metrics()
-    n_img = args.threads * args.image_requests
-
-    n_req = args.threads * args.requests
+    # throughput counts only COMPLETED requests (len(lats)) — a worker that
+    # errors out aborts its remaining requests, and counting those would
+    # inflate the headline number
+    n_img = len(img_lat)
+    n_req = len(lat)
     out = {
         "model": args.model,
         "server_batch": args.batch_size,

@@ -20,15 +20,15 @@ _lib = None
 _checked = False
 
 
-def _find_lib() -> Optional[Path]:
+def _find_lib(name: str = _LIB_NAME) -> Optional[Path]:
     env = os.environ.get("SPATIAL_CLIP_NATIVE")
     candidates = []
-    if env:
+    if env and name == _LIB_NAME:
         candidates.append(Path(env))
     here = Path(__file__).resolve()
     for up in list(here.parents)[:6]:
-        candidates.append(up / "native" / _LIB_NAME)
-        candidates.append(up / _LIB_NAME)
+        candidates.append(up / "native" / name)
+        candidates.append(up / name)
     for c in candidates:
         if c.is_file():
             return c

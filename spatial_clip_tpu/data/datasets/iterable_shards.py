@@ -145,6 +145,12 @@ class IterableTarDataset:
                     from PIL import Image
 
                     image = Image.open(io.BytesIO(raw)).convert("RGB")
+                elif self.preprocess_fn is not None and not getattr(
+                        self.preprocess_fn, "accepts_ndarray", False):
+                    from PIL import Image
+
+                    # user callables keep the documented PIL contract
+                    image = Image.fromarray(image)
             else:
                 return None
             if self.preprocess_fn is not None:

@@ -178,6 +178,10 @@ class ShardedSpatialDataset:
             img = decode_rgb(raw)
             if img is None:
                 img = Image.open(io.BytesIO(raw)).convert("RGB")
+            elif self.preprocess_fn is not None and not getattr(
+                    self.preprocess_fn, "accepts_ndarray", False):
+                # user-supplied callables keep the documented PIL contract
+                img = Image.fromarray(img)
         image = self.preprocess_fn(img) if self.preprocess_fn else np.asarray(img)
         sentence = self._read_bytes(e["txt"]).decode("utf-8")
         if self.tokenizer is not None:

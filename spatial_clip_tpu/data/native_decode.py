@@ -15,25 +15,29 @@ from typing import Optional
 
 import numpy as np
 
-from spatial_clip_tpu.data.datasets._native import get_lib
+from spatial_clip_tpu.data.datasets._native import _find_lib
 
 log = logging.getLogger(__name__)
 
 _configured = False
-_ok = False
+_lib = None
 
 
-def _setup() -> bool:
-    """Bind the decode symbols once; False when the library is absent or
-    predates imagedec.cpp (symbols missing)."""
-    global _configured, _ok
+def get_declib():
+    """Load + bind libscimagedec.so once; None when absent (PIL fallback).
+
+    The decoder lives in its OWN shared library (not the dependency-free
+    tar indexer's) so a host without libpng/libjpeg keeps the indexer."""
+    global _configured, _lib
     if _configured:
-        return _ok
+        return _lib
     _configured = True
-    lib = get_lib()
-    if lib is None:
-        return False
+    path = _find_lib("libscimagedec.so")
+    if path is None:
+        log.debug("libscimagedec.so not built; PIL fallback")
+        return None
     try:
+        lib = ctypes.CDLL(str(path))
         lib.sc_image_info.restype = ctypes.c_int
         lib.sc_image_info.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -44,19 +48,19 @@ def _setup() -> bool:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ]
-        _ok = True
-    except AttributeError:
-        log.debug("libspatialclip_native.so predates imagedec; PIL fallback")
-        _ok = False
-    return _ok
+        _lib = lib
+    except (OSError, AttributeError) as e:
+        log.warning("failed to load %s: %s; PIL fallback", path, e)
+        _lib = None
+    return _lib
 
 
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     """Decode PNG/JPEG bytes to an (H, W, 3) uint8 array, or None when the
     native path is unavailable / declines the payload (caller uses PIL)."""
-    if not _setup():
+    lib = get_declib()
+    if lib is None:
         return None
-    lib = get_lib()
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
     if lib.sc_image_info(data, len(data), ctypes.byref(w),

@@ -104,15 +104,16 @@ class TextCfg:
                 infer_hf_arch(self.hf_model_name) if self.hf_model_name
                 else "bert"
             )
-            # arch-correct pad token (the reference reads
-            # config.pad_token_id from the hub config): m2m_100/roberta
-            # families pad with 1, bert/t5 with 0
-            if (
-                (self.hf_model_name or self.hf_config is not None)
-                and self.hf_model_arch in ("m2m_100", "roberta", "xlm-roberta")
-                and self.pad_id == 0
-            ):
-                self.pad_id = 1
+        # arch-correct pad token (the reference reads config.pad_token_id
+        # from the hub config): m2m_100/roberta families pad with 1,
+        # bert/t5 with 0. Applies whether the arch was inferred or set
+        # explicitly — an explicit arch must not skip the pad fix.
+        if (
+            (self.hf_model_name or self.hf_config is not None)
+            and self.hf_model_arch in ("m2m_100", "roberta", "xlm-roberta")
+            and self.pad_id == 0
+        ):
+            self.pad_id = 1
 
 
 def infer_hf_arch(name: str) -> str:
@@ -263,13 +264,15 @@ def list_model_configs() -> list:
 
 def hf_cache_snapshot(repo: str):
     """Newest local HF-hub cache snapshot of ``repo`` that carries an
-    ``open_clip_config.json``, or None. Honors $HF_HOME/$HUGGINGFACE_HUB_CACHE
+    ``open_clip_config.json``, or None. Honors $HF_HUB_CACHE (the canonical
+    hub-cache variable), $HUGGINGFACE_HUB_CACHE (legacy) and $HF_HOME
     (the standard hub cache layout: hub/models--org--name/snapshots/<rev>/)."""
     import os
 
     roots = []
-    if os.environ.get("HUGGINGFACE_HUB_CACHE"):
-        roots.append(Path(os.environ["HUGGINGFACE_HUB_CACHE"]))
+    for var in ("HF_HUB_CACHE", "HUGGINGFACE_HUB_CACHE"):
+        if os.environ.get(var):
+            roots.append(Path(os.environ[var]))
     home = Path(os.environ.get("HF_HOME",
                                Path.home() / ".cache" / "huggingface"))
     roots.append(home / "hub")

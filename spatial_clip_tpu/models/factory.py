@@ -167,20 +167,38 @@ def create_model(
     through models.pretrained (download gated on network availability).
     """
     cfg = resolve_clip_cfg(model_name, **cfg_overrides)
-    # hf-hub: names carry their weights in the same cached snapshot as the
-    # config (ref: factory.py:251-320 resolves both from the hub) — when no
-    # explicit pretrained was requested, load them.
-    if pretrained is None and model_name.startswith("hf-hub:"):
+    # hf-hub: names carry their weights AND preprocess contract in the same
+    # cached snapshot as the config (ref: factory.py:251-320 resolves both
+    # from the hub) — when no explicit pretrained was requested, load them.
+    hub_pp = {}
+    if model_name.startswith("hf-hub:"):
+        import json as _json
+
         from spatial_clip_tpu.models.config import hf_cache_snapshot
 
         snap = hf_cache_snapshot(model_name[len("hf-hub:"):])
         if snap is not None:
-            for fname in ("open_clip_model.safetensors",
-                          "open_clip_pytorch_model.safetensors",
-                          "open_clip_pytorch_model.bin"):
-                if (snap / fname).is_file():
-                    pretrained = str(snap / fname)
-                    break
+            raw = _json.loads((snap / "open_clip_config.json").read_text())
+            hub_pp = {
+                k: v for k, v in raw.get("preprocess_cfg", {}).items()
+                if k in PreprocessCfg.__dataclass_fields__
+            }
+            if pretrained is None:
+                weight_names = ("open_clip_model.safetensors",
+                                "open_clip_pytorch_model.safetensors",
+                                "open_clip_pytorch_model.bin")
+                for fname in weight_names:
+                    if (snap / fname).is_file():
+                        pretrained = str(snap / fname)
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"hf-hub snapshot {snap} has open_clip_config.json "
+                        f"but none of the expected weight files "
+                        f"{weight_names}; refusing to return a randomly "
+                        f"initialized model for '{model_name}'. Pass "
+                        f"pretrained= explicitly to load other weights."
+                    )
     # Registry tags pin checkpoint-specific contracts: QuickGELU activation
     # and preprocessing (mean/std/interpolation/resize_mode — e.g. SigLIP
     # tags require resize_mode='squash'). Ref: factory.py merges
@@ -230,7 +248,8 @@ def create_model(
         mean=OPENAI_DATASET_MEAN,
         std=OPENAI_DATASET_STD,
     )
-    for k, v in pp_overrides.items():
+    # hub snapshot's preprocess_cfg first, registry-tag contract wins
+    for k, v in {**hub_pp, **pp_overrides}.items():
         pp_kw[k] = tuple(v) if isinstance(v, list) else v
     pp = PreprocessCfg(**pp_kw)
     return ModelBundle(

@@ -44,10 +44,13 @@ class _M2MEncoderLayer(nn.Module):
     d_model: int
     heads: int
     ffn_dim: int
+    dropout: float = 0.0            # residual dropout (torch cfg.dropout)
+    attention_dropout: float = 0.0  # on attn probs
+    activation_dropout: float = 0.0  # after the FFN activation
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pad_bias):
+    def __call__(self, x, pad_bias, deterministic: bool = True):
         B, L, D = x.shape
         hd = self.d_model // self.heads
         ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -58,6 +61,9 @@ class _M2MEncoderLayer(nn.Module):
             return nn.Dense(feats or self.d_model, dtype=self.dtype,
                             param_dtype=jnp.float32, name=name)
 
+        def drop(rate, name):
+            return nn.Dropout(rate=rate, name=name)
+
         q = proj("self_attn.q_proj")(h) * (hd ** -0.5)
         k = proj("self_attn.k_proj")(h)
         v = proj("self_attn.v_proj")(h)
@@ -67,13 +73,19 @@ class _M2MEncoderLayer(nn.Module):
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         attn = attn + pad_bias  # (B, 1, 1, L) additive -inf on pad keys
         attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = drop(self.attention_dropout, "attn_drop")(
+            attn, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, D)
-        x = x + proj("self_attn.out_proj")(ctx)
+        x = x + drop(self.dropout, "res_drop1")(
+            proj("self_attn.out_proj")(ctx), deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="final_layer_norm")(x)
         h = nn.relu(proj("fc1", self.ffn_dim)(h))
-        return x + proj("fc2")(h)
+        h = drop(self.activation_dropout, "act_drop")(
+            h, deterministic=deterministic)
+        return x + drop(self.dropout, "res_drop2")(
+            proj("fc2")(h), deterministic=deterministic)
 
 
 class M2M100EncoderModule(nn.Module):
@@ -102,14 +114,22 @@ class M2M100EncoderModule(nn.Module):
         table = jnp.asarray(sinusoidal_table(
             cfg.max_position_embeddings + 2, cfg.d_model, pad))
         x = x + table[positions].astype(self.dtype)
+        p_drop = float(getattr(cfg, "dropout", 0.0))
+        x = nn.Dropout(rate=p_drop, name="embed_drop")(
+            x, deterministic=deterministic)
 
         neg = jnp.finfo(jnp.float32).min
         pad_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
         for i in range(cfg.encoder_layers):
             x = _M2MEncoderLayer(
                 cfg.d_model, cfg.encoder_attention_heads,
-                cfg.encoder_ffn_dim, dtype=self.dtype, name=f"layers.{i}",
-            )(x, pad_bias)
+                cfg.encoder_ffn_dim,
+                dropout=p_drop,
+                attention_dropout=float(getattr(cfg, "attention_dropout", 0.0)),
+                activation_dropout=float(
+                    getattr(cfg, "activation_dropout", 0.0)),
+                dtype=self.dtype, name=f"layers.{i}",
+            )(x, pad_bias, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="layer_norm")(x)
         return _EncoderOutput(last_hidden_state=x)

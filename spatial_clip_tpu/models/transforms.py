@@ -140,6 +140,11 @@ class HostImageTransform:
     resize-shortest + center-crop (ref: transform.py:135-233).
     """
 
+    # loaders may hand this transform a decoded (H, W, 3) uint8 ndarray
+    # instead of a PIL Image (native-decode fast path); user-supplied
+    # preprocess callables without this attribute always receive PIL Images
+    accepts_ndarray = True
+
     def __init__(
         self,
         cfg: PreprocessCfg,

@@ -70,7 +70,8 @@ class ServerMetrics:
         self.items_total = 0
         self.errors_total = 0
         self.rejected_total = 0
-        self._t0 = time.monotonic()
+        self._t0 = time.monotonic()       # process boot — backs uptime_s
+        self._window_t0 = self._t0        # last reset — backs qps window
 
     def observe(self, latency_s: float, n_items: int):
         with self._lock:
@@ -102,14 +103,16 @@ class ServerMetrics:
             self._lat.clear()
             self._done_ts.clear()
             self._fill.clear()
-            self._t0 = time.monotonic()
+            # window start moves; _t0 (process boot) stays so uptime_s
+            # keeps reporting real uptime across resets
+            self._window_t0 = time.monotonic()
 
     def snapshot(self) -> dict:
         with self._lock:
             now = time.monotonic()
             lats = sorted(l for _, l in self._lat)
             recent = [t for t in self._done_ts if now - t <= 60.0]
-            qps = len(recent) / min(60.0, max(now - self._t0, 1e-9))
+            qps = len(recent) / min(60.0, max(now - self._window_t0, 1e-9))
             pct = lambda p: (  # noqa: E731
                 round(1000 * lats[min(len(lats) - 1, int(p * len(lats)))], 2)
                 if lats else None)

@@ -80,6 +80,13 @@ def test_nllb_clip_builds_with_m2m_tower():
     assert cfg.text_cfg.hf_model_arch == "m2m_100"
     assert cfg.text_cfg.pad_id == 1
 
+    # an EXPLICIT arch must get the same pad fix as the inferred one
+    from spatial_clip_tpu.models.config import TextCfg
+
+    explicit = TextCfg(hf_model_name="facebook/nllb-200-distilled-600M",
+                       hf_model_arch="m2m_100")
+    assert explicit.pad_id == 1
+
     from spatial_clip_tpu.models.config import register_model_config
 
     register_model_config("nllb-clip-tiny-test", {
@@ -103,3 +110,33 @@ def test_nllb_clip_builds_with_m2m_tower():
     feats = np.asarray(out["text_features"])
     assert feats.shape == (2, 16)
     assert np.isfinite(feats).all()
+
+
+def test_m2m_encoder_applies_dropout_in_train_mode():
+    """cfg.dropout/attention_dropout/activation_dropout must be live:
+    train mode (deterministic=False) perturbs the output, eval mode is
+    deterministic, and dropout adds no params (converter unaffected)."""
+    import jax
+
+    from transformers import M2M100Config
+
+    from spatial_clip_tpu.models.m2m_encoder import M2M100EncoderModule
+
+    cfg = M2M100Config(**{**TINY, "dropout": 0.3, "attention_dropout": 0.1,
+                          "activation_dropout": 0.1})
+    mod = M2M100EncoderModule(config=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(2, TINY["vocab_size"], (2, 12)), jnp.int32)
+    mask = (ids != 1).astype(jnp.int32)
+    params = mod.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    eval1 = mod.apply({"params": params}, ids, mask).last_hidden_state
+    eval2 = mod.apply({"params": params}, ids, mask).last_hidden_state
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+
+    tr1 = mod.apply({"params": params}, ids, mask, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)}).last_hidden_state
+    tr2 = mod.apply({"params": params}, ids, mask, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)}).last_hidden_state
+    assert not np.allclose(np.asarray(tr1), np.asarray(eval1))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
