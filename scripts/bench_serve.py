@@ -123,6 +123,17 @@ def main():
     img_lat, img_wall, img_errors = stress(
         "/embed_image", body_img, args.threads, args.image_requests)
     img_metrics = get_metrics()
+
+    # raw binary request path (no JSON/b64/codec host work)
+    size = svc.bundle.cfg.vision_cfg.image_size
+    body_raw = rng.integers(0, 255,
+                            (args.images_per_request, size, size, 3),
+                            dtype=np.uint8).tobytes()
+    conn.request("POST", "/metrics/reset", "{}")
+    assert conn.getresponse().status == 200
+    raw_lat, raw_wall, raw_errors = stress(
+        "/embed_image_raw", body_raw, args.threads, args.image_requests)
+    raw_metrics = get_metrics()
     # throughput counts only COMPLETED requests (len(lats)) — a worker that
     # errors out aborts its remaining requests, and counting those would
     # inflate the headline number
@@ -154,6 +165,18 @@ def main():
             "latency_ms_p99": pct(img_lat, 99),
             "errors": img_errors,
             "server_metrics": img_metrics,
+        },
+        "image_raw": {
+            "threads": args.threads,
+            "requests": len(raw_lat),
+            "items_per_request": args.images_per_request,
+            "wall_s": round(raw_wall, 2),
+            "tiles_per_sec": round(
+                len(raw_lat) * args.images_per_request / raw_wall, 1),
+            "latency_ms_p50": pct(raw_lat, 50),
+            "latency_ms_p99": pct(raw_lat, 99),
+            "errors": raw_errors,
+            "server_metrics": raw_metrics,
         },
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -55,6 +55,33 @@ def get_declib():
     return _lib
 
 
+def decode_rgb_into(data: bytes, out: np.ndarray) -> bool:
+    """Decode PNG/JPEG bytes directly into ``out`` (an (H, W, 3) uint8
+    C-contiguous array, e.g. one row of a preallocated batch) when the
+    image's dimensions match exactly. Returns False when the native path
+    is unavailable, declines the payload, or dims differ (caller falls
+    back to :func:`decode_rgb` / PIL + resize). Skipping the per-tile
+    allocation + np.stack pass saves ~0.23 ms/tile on the serving path
+    (docs/experiments.md round-5 attribution)."""
+    lib = get_declib()
+    if lib is None:
+        return False
+    if not (out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
+            and out.ndim == 3 and out.shape[2] == 3):
+        return False
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    if lib.sc_image_info(data, len(data), ctypes.byref(w),
+                         ctypes.byref(h)) != 0:
+        return False
+    if (h.value, w.value) != out.shape[:2]:
+        return False
+    rc = lib.sc_decode_rgb(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes)
+    return rc == 0
+
+
 def decode_rgb(data: bytes) -> Optional[np.ndarray]:
     """Decode PNG/JPEG bytes to an (H, W, 3) uint8 array, or None when the
     native path is unavailable / declines the payload (caller uses PIL)."""

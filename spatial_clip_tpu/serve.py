@@ -241,25 +241,61 @@ class EmbeddingService:
     def embed_images_b64(self, images_b64) -> np.ndarray:
         from PIL import Image
 
-        from spatial_clip_tpu.data.native_decode import decode_rgb
+        from spatial_clip_tpu.data.native_decode import (
+            decode_rgb,
+            decode_rgb_into,
+        )
 
-        def decode(b):
-            raw = base64.b64decode(b)
-            # native libpng/libjpeg decode (exact-parity, ~1.3-1.9x PIL on
-            # the measured decode-bound path); PIL handles anything the
-            # native path declines
-            arr = decode_rgb(raw)
-            if arr is not None:
-                return self.preprocess(arr)
-            return self.preprocess(Image.open(io.BytesIO(raw)))
+        n = len(images_b64)
+        size = int(self.bundle.cfg.vision_cfg.image_size)
+        # fast assembly: decode target-size tiles straight into one
+        # preallocated batch (no per-tile array + no np.stack pass —
+        # ~0.23 ms/tile, docs/experiments.md round-5 attribution). Valid
+        # because the val transform returns target-size RGB8 input as-is.
+        if getattr(self.preprocess, "accepts_ndarray", False):
+            tiles = np.empty((n, size, size, 3), np.uint8)
 
-        # image serving is host-decode-bound (26 ms/tile measured vs 14.3k
-        # tiles/sec on the chip — reports/bench_serve.json); PIL releases
-        # the GIL during decode so a thread pool scales it with host cores
-        if len(images_b64) > 4 and self._decode_pool is not None:
-            tiles = np.stack(list(self._decode_pool.map(decode, images_b64)))
-        else:
-            tiles = np.stack([decode(b) for b in images_b64])
+            def decode(item):
+                i, b = item
+                raw = base64.b64decode(b)
+                if decode_rgb_into(raw, tiles[i]):
+                    return
+                arr = decode_rgb(raw)  # native, any size
+                img = arr if arr is not None else Image.open(io.BytesIO(raw))
+                tiles[i] = self.preprocess(img)
+
+            items = list(enumerate(images_b64))
+            # decode releases the GIL (ctypes / PIL) so a thread pool
+            # scales with host cores
+            if n > 4 and self._decode_pool is not None:
+                list(self._decode_pool.map(decode, items))
+            else:
+                for item in items:
+                    decode(item)
+        else:  # custom transform: per-tile PIL contract, stack at the end
+            def decode_one(b):
+                raw = base64.b64decode(b)
+                return self.preprocess(Image.open(io.BytesIO(raw)))
+
+            if n > 4 and self._decode_pool is not None:
+                tiles = np.stack(list(self._decode_pool.map(decode_one,
+                                                            images_b64)))
+            else:
+                tiles = np.stack([decode_one(b) for b in images_b64])
+        return self._batched(self._enc_img, tiles)
+
+    def embed_images_raw(self, body: bytes) -> np.ndarray:
+        """Raw-pixel request path: ``body`` is n tightly-packed
+        (size, size, 3) uint8 tiles. Skips JSON + base64 + codec work
+        entirely (~56 ms per 64-tile request on the measured serving
+        host) — the binary analogue of the ``b64_f32`` reply encoding."""
+        size = int(self.bundle.cfg.vision_cfg.image_size)
+        tile_bytes = size * size * 3
+        if len(body) == 0 or len(body) % tile_bytes != 0:
+            raise ValueError(
+                f"raw image body must be n*{tile_bytes} bytes "
+                f"(n tiles of {size}x{size}x3 uint8); got {len(body)}")
+        tiles = np.frombuffer(body, np.uint8).reshape(-1, size, size, 3)
         return self._batched(self._enc_img, tiles)
 
     def metadata(self) -> dict:
@@ -306,6 +342,54 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                 return self._reply(413, {
                     "error": f"request body {n} bytes exceeds limit "
                              f"{max_body_bytes}"})
+            path, _, query = self.path.partition("?")
+            if path == "/embed_image_raw":
+                # binary request path: n tightly-packed (size, size, 3)
+                # uint8 tiles, no JSON/base64/codec host work (the binary
+                # analogue of b64_f32 replies — which are also the default
+                # reply encoding here; append ?encoding=json for floats)
+                body = self.rfile.read(n)
+                size = int(service.bundle.cfg.vision_cfg.image_size)
+                n_tiles, rem = divmod(len(body), size * size * 3)
+                if n_tiles == 0 or rem != 0:
+                    service.metrics.error()
+                    return self._reply(400, {
+                        "error": f"raw body must be n*{size * size * 3} "
+                                 f"bytes ({size}x{size}x3 uint8 tiles); "
+                                 f"got {len(body)}"})
+                if n_tiles > max_items:
+                    service.metrics.rejected()
+                    return self._reply(413, {
+                        "error": f"{n_tiles} tiles exceeds per-request "
+                                 f"limit {max_items}; split the request"})
+                if not service.acquire_slot():
+                    service.metrics.rejected()
+                    return self._reply(503, {
+                        "error": "server saturated; retry with backoff"})
+                try:
+                    emb = service.embed_images_raw(body)
+                    if "encoding=json" in query:
+                        self._reply(200, {"embeddings": emb.tolist()})
+                    else:
+                        self._reply(200, {
+                            "embeddings_b64": base64.b64encode(
+                                np.ascontiguousarray(
+                                    emb, dtype="<f4").tobytes()).decode(),
+                            "shape": list(emb.shape),
+                            "dtype": "<f4",
+                        })
+                    service.metrics.observe(time.monotonic() - t0, n_tiles)
+                except (BrokenPipeError, ConnectionResetError):
+                    log.debug("client disconnected mid-response")
+                except Exception as e:  # noqa: BLE001
+                    service.metrics.error()
+                    try:
+                        self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    except (BrokenPipeError, ConnectionResetError):
+                        log.debug("client disconnected before error reply")
+                finally:
+                    service.release_slot()
+                return
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (json.JSONDecodeError, UnicodeDecodeError) as e:

@@ -255,3 +255,84 @@ def test_non_object_json_body_is_400(service):
         assert resp.status == 400 and b"JSON object" in resp.read()
     finally:
         server.shutdown()
+
+
+def test_embed_images_raw_matches_b64_path(service):
+    """The binary request path must produce the same embeddings as the
+    PNG-b64 path for identical pixels, and reject malformed bodies."""
+    rng = np.random.default_rng(3)
+    size = service.bundle.cfg.vision_cfg.image_size
+    tiles = rng.integers(0, 255, (3, size, size, 3), dtype=np.uint8)
+
+    def b64_of(t):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(t).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    via_b64 = service.embed_images_b64([b64_of(t) for t in tiles])
+    via_raw = service.embed_images_raw(tiles.tobytes())
+    np.testing.assert_allclose(via_raw, via_b64, atol=1e-5)
+
+    with pytest.raises(ValueError, match="raw image body"):
+        service.embed_images_raw(b"\x00" * (size * size * 3 - 1))
+
+
+def test_embed_image_raw_http_endpoint(service):
+    server, port = _start_server(service)
+    try:
+        rng = np.random.default_rng(4)
+        size = service.bundle.cfg.vision_cfg.image_size
+        tiles = rng.integers(0, 255, (2, size, size, 3), dtype=np.uint8)
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/embed_image_raw", tiles.tobytes(),
+                     {"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        r = json.loads(resp.read())
+        emb = np.frombuffer(base64.b64decode(r["embeddings_b64"]),
+                            "<f4").reshape(r["shape"])
+        direct = service.embed_images_raw(tiles.tobytes())
+        np.testing.assert_allclose(emb, direct, atol=1e-5)
+
+        # ?encoding=json gives float lists
+        conn.request("POST", "/embed_image_raw?encoding=json",
+                     tiles.tobytes())
+        r2 = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(np.asarray(r2["embeddings"]), direct,
+                                   atol=1e-4)
+
+        # malformed length -> 400
+        conn.request("POST", "/embed_image_raw", b"abc")
+        assert conn.getresponse().status == 400
+    finally:
+        server.shutdown()
+
+
+def test_batch_assembly_decode_into_parity(service):
+    """Preallocated-batch decode (decode_rgb_into) must equal the per-tile
+    decode + stack path, including the mixed case where one tile is
+    off-size (falls back to decode + resize in place)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    size = service.bundle.cfg.vision_cfg.image_size
+
+    def b64_of(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    exact = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    big = rng.integers(0, 255, (size * 2, size * 2, 3), dtype=np.uint8)
+    items = [b64_of(exact), b64_of(big), b64_of(exact)]
+
+    emb = service.embed_images_b64(items)
+    # oracle: per-tile preprocess + stack (the pre-optimization path)
+    tiles = []
+    for b in items:
+        img = Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB")
+        tiles.append(service.preprocess(img))
+    want = service._batched(service._enc_img, np.stack(tiles))
+    np.testing.assert_allclose(emb, want, atol=1e-5)
