@@ -128,6 +128,7 @@ def test_gene_mlp_tower_end_to_end(tmp_path):
     assert hasattr(tok, "num_genes") and tok.num_genes == 128
 
 
+@pytest.mark.slow
 def test_sweep_driver_grid(tmp_path):
     """Grid sweep over 2 trials ranks by the optimized metric
     (ref pattern: tests/test_sweeps.py shell-driven sweeps)."""

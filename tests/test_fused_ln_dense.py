@@ -90,6 +90,7 @@ def test_model_level_parity_ln_fused(rng):
     np.testing.assert_allclose(t2, t1, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_level_grads_ln_fused(rng):
     """End-to-end gradients through the fused LN->GEMM custom VJP must match
     the LayerNorm+Dense autodiff path."""

@@ -265,6 +265,7 @@ def test_make_loss_dispatch(feats):
         make_loss("spatial")(image_features=jnp.asarray(img))
 
 
+@pytest.mark.slow
 def test_ring_spatial_loss_matches_global(feats):
     """Ring (ppermute, O(local_B) memory) == global all-gather formulation."""
     from spatial_clip_tpu.losses.ring import ring_spatial_loss

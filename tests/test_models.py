@@ -159,6 +159,7 @@ def test_patchify_reshape_matches_conv():
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_modified_resnet_tower():
     bundle = create_model("RN-Test", precision="fp32", seed=0)
     images = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)

@@ -121,6 +121,7 @@ def _tiny_zip_cfg(**over):
     )
 
 
+@pytest.mark.slow
 def test_zip_towers_model_parity():
     cfg_off = _tiny_zip_cfg(zip_towers="off")
     cfg_on = _tiny_zip_cfg(zip_towers="on")

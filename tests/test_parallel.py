@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from spatial_clip_tpu import create_model
@@ -63,6 +64,7 @@ def test_hybrid_mesh_single_slice():
     assert mesh.shape["data"] == 8
 
 
+@pytest.mark.slow
 def test_trainer_tensor_parallel_mesh(rng):
     """dp x tp: a (4 data, 2 model) mesh trains with TP-sharded params +
     moments (computation-follows-sharding) and matches the replicated

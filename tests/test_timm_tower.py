@@ -68,6 +68,7 @@ def test_unknown_trunk_raises():
         )
 
 
+@pytest.mark.slow
 def test_full_train_step_with_timm_tower(rng):
     """The adapter must be trainable end-to-end (grads flow, loss finite)."""
     import jax

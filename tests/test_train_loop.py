@@ -129,6 +129,7 @@ def test_tower_locking_freezes_params(tiny_bundle):
     )
 
 
+@pytest.mark.slow
 def test_cached_accum_matches_full_batch_grads(tiny_bundle):
     """Cached-feature accumulation must reproduce the full-batch gradient."""
     import jax
@@ -188,6 +189,7 @@ def test_training_determinism(tiny_bundle):
     np.testing.assert_array_equal(run(), run())
 
 
+@pytest.mark.slow
 def test_master_weights_step_parity(rng):
     """master_weights=True (bf16 live kernels + fp32 master) must track the
     default trainer: identical param tree, near-identical loss/params after
