@@ -137,20 +137,28 @@ class IterableTarDataset:
                 image = np.load(io.BytesIO(group["npy"]), allow_pickle=False)
             elif "png" in group or "jpg" in group or "jpeg" in group:
                 raw = group.get("png") or group.get("jpg") or group.get("jpeg")
-                from spatial_clip_tpu.data.native_decode import decode_rgb
+                # native decode only where it replaces the PIL trip entirely
+                # (no transform, or a val transform consuming target-size
+                # RGB8 untouched) — see shard_backend.py / experiments.md
+                from spatial_clip_tpu.data.native_decode import (
+                    decode_rgb,
+                    decode_rgb_into,
+                )
 
-                # native libpng/libjpeg decode (exact-parity, 1.3-1.9x PIL)
-                image = decode_rgb(raw)
+                image = None
+                if self.preprocess_fn is None:
+                    image = decode_rgb(raw)
+                else:
+                    fast = getattr(self.preprocess_fn,
+                                   "ndarray_fast_size", None)
+                    if fast is not None:
+                        out = np.empty((*fast, 3), np.uint8)
+                        if decode_rgb_into(raw, out):
+                            image = out
                 if image is None:
                     from PIL import Image
 
                     image = Image.open(io.BytesIO(raw)).convert("RGB")
-                elif self.preprocess_fn is not None and not getattr(
-                        self.preprocess_fn, "accepts_ndarray", False):
-                    from PIL import Image
-
-                    # user callables keep the documented PIL contract
-                    image = Image.fromarray(image)
             else:
                 return None
             if self.preprocess_fn is not None:

@@ -171,17 +171,27 @@ class ShardedSpatialDataset:
             img = arr if self.preprocess_fn is None else Image.fromarray(arr)
         else:
             raw = self._read_bytes(e["png"])
-            # native libpng/libjpeg decode (exact-parity, 1.3-1.9x PIL);
-            # PIL handles anything the native path declines
-            from spatial_clip_tpu.data.native_decode import decode_rgb
+            # native libpng/libjpeg decode — engaged ONLY when it replaces
+            # the PIL trip entirely (no transform, or a val transform whose
+            # ndarray fast path returns target-size RGB8 untouched); the
+            # measured A/B shows decode-native-then-wrap-in-PIL is neutral
+            # (docs/experiments.md round-5). PIL handles everything else.
+            from spatial_clip_tpu.data.native_decode import (
+                decode_rgb,
+                decode_rgb_into,
+            )
 
-            img = decode_rgb(raw)
+            img = None
+            if self.preprocess_fn is None:
+                img = decode_rgb(raw)
+            else:
+                fast = getattr(self.preprocess_fn, "ndarray_fast_size", None)
+                if fast is not None:
+                    out = np.empty((*fast, 3), np.uint8)
+                    if decode_rgb_into(raw, out):
+                        img = out
             if img is None:
                 img = Image.open(io.BytesIO(raw)).convert("RGB")
-            elif self.preprocess_fn is not None and not getattr(
-                    self.preprocess_fn, "accepts_ndarray", False):
-                # user-supplied callables keep the documented PIL contract
-                img = Image.fromarray(img)
         image = self.preprocess_fn(img) if self.preprocess_fn else np.asarray(img)
         sentence = self._read_bytes(e["txt"]).decode("utf-8")
         if self.tokenizer is not None:

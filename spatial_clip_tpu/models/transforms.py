@@ -145,6 +145,17 @@ class HostImageTransform:
     # preprocess callables without this attribute always receive PIL Images
     accepts_ndarray = True
 
+    @property
+    def ndarray_fast_size(self):
+        """(H, W) for which an RGB8 ndarray input is returned untouched, or
+        None. Loaders use this to gate the native decoder: measured A/B
+        (docs/experiments.md round-5) shows native decode only wins when it
+        REPLACES the PIL trip entirely; decoding natively and then wrapping
+        in Image.fromarray for a train-mode crop is net-neutral (-3%)."""
+        if self.is_train or self.cfg.mode != "RGB":
+            return None
+        return self.cfg.size_tuple
+
     def __init__(
         self,
         cfg: PreprocessCfg,
