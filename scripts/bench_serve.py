@@ -81,7 +81,8 @@ def main():
     conn.request("POST", "/metrics/reset", "{}")
     assert conn.getresponse().status == 200
 
-    def stress(path: str, body: str, n_threads: int, n_requests: int):
+    def stress(path: str, body, n_threads: int, n_requests: int):
+        # body: str (JSON) or bytes (raw tile payload)
         """n_threads clients, n_requests each; returns (lats, wall, errors)."""
         lats, errors = [], []
 
@@ -125,7 +126,6 @@ def main():
     img_metrics = get_metrics()
 
     # raw binary request path (no JSON/b64/codec host work)
-    size = svc.bundle.cfg.vision_cfg.image_size
     body_raw = rng.integers(0, 255,
                             (args.images_per_request, size, size, 3),
                             dtype=np.uint8).tobytes()

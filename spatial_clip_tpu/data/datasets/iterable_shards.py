@@ -135,6 +135,12 @@ class IterableTarDataset:
         try:
             if "npy" in group:
                 image = np.load(io.BytesIO(group["npy"]), allow_pickle=False)
+                if self.preprocess_fn is not None and not getattr(
+                        self.preprocess_fn, "accepts_ndarray", False):
+                    from PIL import Image
+
+                    # user callables keep the documented PIL contract
+                    image = Image.fromarray(image)
             elif "png" in group or "jpg" in group or "jpeg" in group:
                 raw = group.get("png") or group.get("jpg") or group.get("jpeg")
                 # native decode only where it replaces the PIL trip entirely

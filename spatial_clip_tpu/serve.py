@@ -22,6 +22,9 @@ ingress for anything public.
 Endpoints:
 - ``POST /embed_text``  {"texts": [str, ...]} -> {"embeddings": [[...], ...]}
 - ``POST /embed_image`` {"images_b64": [base64-png, ...]} -> embeddings
+- ``POST /embed_image_raw`` body = n tightly-packed (size, size, 3) uint8
+  tiles (no JSON/base64/codec host work); replies default to the b64_f32
+  binary encoding — append ``?encoding=json`` for float lists
 - ``GET  /healthz``     liveness + model metadata
 - ``GET  /metrics``     request counts, QPS, batch fill, p50/p99 latency
 - ``POST /metrics/reset`` clear the rolling latency/QPS window (totals kept)
@@ -250,9 +253,12 @@ class EmbeddingService:
         size = int(self.bundle.cfg.vision_cfg.image_size)
         # fast assembly: decode target-size tiles straight into one
         # preallocated batch (no per-tile array + no np.stack pass —
-        # ~0.23 ms/tile, docs/experiments.md round-5 attribution). Valid
-        # because the val transform returns target-size RGB8 input as-is.
-        if getattr(self.preprocess, "accepts_ndarray", False):
+        # ~0.23 ms/tile, docs/experiments.md round-5 attribution). Gated on
+        # ndarray_fast_size (like the shard loaders): the transform must
+        # return target-size RGB8 input UNTOUCHED for in-place decode to
+        # equal preprocess(tile); train mode / non-RGB modes gate it off.
+        if getattr(self.preprocess, "ndarray_fast_size", None) == (size,
+                                                                   size):
             tiles = np.empty((n, size, size, 3), np.uint8)
 
             def decode(item):
@@ -367,8 +373,11 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                     return self._reply(503, {
                         "error": "server saturated; retry with backoff"})
                 try:
+                    from urllib.parse import parse_qs
+
+                    enc = parse_qs(query).get("encoding", ["b64_f32"])[0]
                     emb = service.embed_images_raw(body)
-                    if "encoding=json" in query:
+                    if enc == "json":
                         self._reply(200, {"embeddings": emb.tolist()})
                     else:
                         self._reply(200, {

@@ -336,3 +336,56 @@ def test_batch_assembly_decode_into_parity(service):
         tiles.append(service.preprocess(img))
     want = service._batched(service._enc_img, np.stack(tiles))
     np.testing.assert_allclose(emb, want, atol=1e-5)
+
+
+def test_raw_endpoint_query_parsing(service):
+    """?encoding must be parsed, not substring-matched: unrelated params
+    keep the binary default, and only encoding=json opts into floats."""
+    server, port = _start_server(service)
+    try:
+        size = service.bundle.cfg.vision_cfg.image_size
+        tiles = np.zeros((1, size, size, 3), np.uint8)
+        conn = HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/embed_image_raw?client_encoding=json2",
+                     tiles.tobytes())
+        r = json.loads(conn.getresponse().read())
+        assert "embeddings_b64" in r  # still binary
+
+        conn.request("POST", "/embed_image_raw?encoding=json",
+                     tiles.tobytes())
+        r2 = json.loads(conn.getresponse().read())
+        assert "embeddings" in r2
+    finally:
+        server.shutdown()
+
+
+def test_iterable_npy_keeps_pil_contract(tmp_path, rng):
+    """.npy tiles also reach user preprocess callables as PIL Images."""
+    import io as _io
+    import tarfile
+
+    from PIL import Image
+
+    tile = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    shard = tmp_path / "s-000000.tar"
+    buf = _io.BytesIO()
+    np.save(buf, tile)
+    with tarfile.open(shard, "w") as tf:
+        for name, payload in (("a.npy", buf.getvalue()), ("a.txt", b"hi")):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+
+    from spatial_clip_tpu.data.datasets.iterable_shards import (
+        IterableTarDataset,
+    )
+
+    seen = []
+
+    def user_fn(img):
+        seen.append(type(img))
+        return np.asarray(img.convert("RGB"))
+
+    samples = list(IterableTarDataset([str(shard)], preprocess_fn=user_fn))
+    assert len(samples) == 1
+    assert all(issubclass(t, Image.Image) for t in seen)
