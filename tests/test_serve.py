@@ -389,3 +389,44 @@ def test_iterable_npy_keeps_pil_contract(tmp_path, rng):
     samples = list(IterableTarDataset([str(shard)], preprocess_fn=user_fn))
     assert len(samples) == 1
     assert all(issubclass(t, Image.Image) for t in seen)
+
+
+def test_embedding_client_full_surface(service):
+    """EmbeddingClient drives every endpoint against a live server and all
+    three embedding routes agree on identical pixels."""
+    from spatial_clip_tpu.client import EmbeddingClient
+
+    server, port = _start_server(service)
+    try:
+        rng = np.random.default_rng(6)
+        size = service.bundle.cfg.vision_cfg.image_size
+        tiles = rng.integers(0, 255, (2, size, size, 3), dtype=np.uint8)
+
+        def png_of(t):
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(t).save(buf, format="PNG")
+            return buf.getvalue()
+
+        with EmbeddingClient("127.0.0.1", port) as c:
+            assert c.healthz()["status"] == "ok"
+
+            txt = c.embed_texts(["a spot", "another spot"])
+            assert txt.shape == (2, service.bundle.cfg.embed_dim)
+            txt_json = c.embed_texts(["a spot", "another spot"],
+                                     binary=False)
+            np.testing.assert_allclose(txt, txt_json, atol=1e-4)
+
+            via_png = c.embed_images([png_of(t) for t in tiles])
+            via_raw = c.embed_tiles(tiles)
+            np.testing.assert_allclose(via_raw, via_png, atol=1e-5)
+
+            with pytest.raises(ValueError, match="uint8 tiles"):
+                c.embed_tiles(tiles[0])  # 3-D input
+
+            c.reset_metrics()
+            m = c.metrics()
+            assert m["requests_total"] >= 4
+    finally:
+        server.shutdown()
