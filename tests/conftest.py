@@ -36,7 +36,11 @@ def _ensure_native_built():
     from pathlib import Path
 
     native = Path(__file__).resolve().parents[1] / "native"
-    if (native / "libspatialclip_native.so").is_file():
+    # both libs: the indexer (dependency-free) and the image decoder
+    # (best-effort — its make target is '-'-prefixed, so a host without
+    # libpng/libjpeg still gets rc=0 and the PIL fallback)
+    if ((native / "libspatialclip_native.so").is_file()
+            and (native / "libscimagedec.so").is_file()):
         return
     if not shutil.which("make") or not shutil.which("g++"):
         return
