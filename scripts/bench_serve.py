@@ -57,7 +57,9 @@ def main():
     conn = HTTPConnection("127.0.0.1", port, timeout=3000)
     t0 = time.time()
     conn.request("POST", "/embed_text", body_text)
-    assert conn.getresponse().status == 200
+    _r = conn.getresponse()
+    _r.read()  # drain: keep-alive connections are reused
+    assert _r.status == 200
     print(f"text warm/compile: {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(0)
@@ -74,16 +76,20 @@ def main():
     body_img = json.dumps({"images_b64": imgs})
     t0 = time.time()
     conn.request("POST", "/embed_image", body_img)
-    assert conn.getresponse().status == 200
+    _r = conn.getresponse()
+    _r.read()  # drain: keep-alive connections are reused
+    assert _r.status == 200
     print(f"image warm/compile: {time.time() - t0:.1f}s", flush=True)
     # drop the warm/compile requests from the /metrics window so server-side
     # percentiles reflect steady-state traffic, not one-off XLA compiles
     conn.request("POST", "/metrics/reset", "{}")
-    assert conn.getresponse().status == 200
+    _r = conn.getresponse()
+    _r.read()  # drain: keep-alive connections are reused
+    assert _r.status == 200
 
     def stress(path: str, body, n_threads: int, n_requests: int):
-        # body: str (JSON) or bytes (raw tile payload)
-        """n_threads clients, n_requests each; returns (lats, wall, errors)."""
+        """n_threads clients, n_requests each; returns (lats, wall, errors).
+        ``body`` is str (JSON) or bytes (raw tile payload)."""
         lats, errors = [], []
 
         def worker():
@@ -120,7 +126,9 @@ def main():
     # image path under the SAME concurrency (host-decode pool + chip lock
     # under contention), with its own clean metrics window
     conn.request("POST", "/metrics/reset", "{}")
-    assert conn.getresponse().status == 200
+    _r = conn.getresponse()
+    _r.read()  # drain: keep-alive connections are reused
+    assert _r.status == 200
     img_lat, img_wall, img_errors = stress(
         "/embed_image", body_img, args.threads, args.image_requests)
     img_metrics = get_metrics()
@@ -130,7 +138,9 @@ def main():
                             (args.images_per_request, size, size, 3),
                             dtype=np.uint8).tobytes()
     conn.request("POST", "/metrics/reset", "{}")
-    assert conn.getresponse().status == 200
+    _r = conn.getresponse()
+    _r.read()  # drain: keep-alive connections are reused
+    assert _r.status == 200
     raw_lat, raw_wall, raw_errors = stress(
         "/embed_image_raw", body_raw, args.threads, args.image_requests)
     raw_metrics = get_metrics()

@@ -57,8 +57,11 @@ class EmbeddingClient:
             conn.request("POST", path, body, headers or {})
             resp = conn.getresponse()
             payload = resp.read()
-        except (ConnectionError, BrokenPipeError):
-            # stale keep-alive connection: reconnect once
+        except TimeoutError:
+            raise  # a slow server is not a stale connection
+        except (ConnectionError, OSError):
+            # stale keep-alive connection (server closed it, or the socket
+            # died — RemoteDisconnected/BrokenPipe/EBADF): reconnect once
             self.close()
             conn = self._connection()
             conn.request("POST", path, body, headers or {})

@@ -316,14 +316,26 @@ class EmbeddingService:
 def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
                  max_items: int = 1024):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every reply carries Content-Length, so
+        # persistent connections are safe and clients skip the per-request
+        # TCP handshake (the stdlib default is close-per-request HTTP/1.0)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # route to logging, not stderr
             log.debug(fmt, *args)
 
-        def _reply(self, code: int, payload: dict):
+        def _reply(self, code: int, payload: dict, close: bool = False):
+            """``close=True`` is REQUIRED for any reply sent before the
+            request body was fully read (bad Content-Length, 413 size):
+            under HTTP/1.1 keep-alive the undrained bytes would otherwise
+            corrupt the next request on the reused connection."""
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if close:
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
@@ -340,14 +352,16 @@ def make_handler(service: EmbeddingService, max_body_bytes: int = 32 * 2 ** 20,
             try:
                 n = int(self.headers.get("Content-Length", 0))
             except ValueError:
-                return self._reply(400, {"error": "bad Content-Length"})
+                return self._reply(400, {"error": "bad Content-Length"},
+                                   close=True)
             if n < 0:
-                return self._reply(400, {"error": "bad Content-Length"})
+                return self._reply(400, {"error": "bad Content-Length"},
+                                   close=True)
             if n > max_body_bytes:
                 service.metrics.rejected()
                 return self._reply(413, {
                     "error": f"request body {n} bytes exceeds limit "
-                             f"{max_body_bytes}"})
+                             f"{max_body_bytes}"}, close=True)
             path, _, query = self.path.partition("?")
             if path == "/embed_image_raw":
                 # binary request path: n tightly-packed (size, size, 3)

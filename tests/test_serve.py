@@ -86,7 +86,9 @@ def test_http_surface(service):
         assert np.asarray(out["embeddings"]).shape == (1, 32)
 
         conn.request("POST", "/nope", "{}")
-        assert conn.getresponse().status == 404
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 404
 
         # /metrics/reset clears the rolling window (warmup-compile
         # exclusion) but keeps totals
@@ -94,7 +96,9 @@ def test_http_surface(service):
         before = json.loads(conn.getresponse().read())
         assert before["latency_ms_p50"] is not None
         conn.request("POST", "/metrics/reset", "{}")
-        assert conn.getresponse().status == 200
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 200
         conn.request("GET", "/metrics")
         after = json.loads(conn.getresponse().read())
         assert after["latency_ms_p50"] is None
@@ -124,17 +128,25 @@ def test_request_size_limits(service):
         # oversized body -> 413
         conn.request("POST", "/embed_text",
                      json.dumps({"texts": ["x" * 500]}))
-        assert conn.getresponse().status == 413
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 413
         # too many items -> 413
         conn.request("POST", "/embed_text",
                      json.dumps({"texts": ["a", "b", "c", "d"]}))
-        assert conn.getresponse().status == 413
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 413
         # invalid JSON -> 400
         conn.request("POST", "/embed_text", "{nope")
-        assert conn.getresponse().status == 400
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 400
         # empty list -> 400
         conn.request("POST", "/embed_text", json.dumps({"texts": []}))
-        assert conn.getresponse().status == 400
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 400
     finally:
         server.shutdown()
 
@@ -204,7 +216,9 @@ def test_saturation_returns_503(service):
     try:
         conn = HTTPConnection("127.0.0.1", port, timeout=60)
         conn.request("POST", "/embed_text", json.dumps({"texts": ["x"]}))
-        assert conn.getresponse().status == 200
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 200
     finally:
         server.shutdown()
 
@@ -305,7 +319,9 @@ def test_embed_image_raw_http_endpoint(service):
 
         # malformed length -> 400
         conn.request("POST", "/embed_image_raw", b"abc")
-        assert conn.getresponse().status == 400
+        _r = conn.getresponse()
+        _r.read()  # drain: keep-alive connections are reused
+        assert _r.status == 400
     finally:
         server.shutdown()
 
@@ -428,5 +444,22 @@ def test_embedding_client_full_surface(service):
             c.reset_metrics()
             m = c.metrics()
             assert m["requests_total"] >= 4
+    finally:
+        server.shutdown()
+
+
+def test_client_reconnects_after_stale_connection(service):
+    """A dead keep-alive socket triggers one transparent reconnect."""
+    from spatial_clip_tpu.client import EmbeddingClient
+
+    server, port = _start_server(service)
+    try:
+        c = EmbeddingClient("127.0.0.1", port)
+        first = c.embed_texts(["hello"])
+        # kill the underlying socket behind the client's back
+        c._conn.sock.close()
+        second = c.embed_texts(["hello"])  # must not raise
+        np.testing.assert_allclose(first, second, atol=1e-6)
+        c.close()
     finally:
         server.shutdown()
